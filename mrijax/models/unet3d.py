@@ -1,0 +1,92 @@
+"""3D UNet for latent diffusion — plain and bottleneck-attention variants.
+
+One class with an ``use_attention`` switch replaces the reference's
+``UNet3DModel`` (`ddpm_3d_ldm/unet.py:57-158`) and
+``UNet3DModelWithAttention`` (`ddpm_3d_ldm/unet_attention.py:88-200`), which
+are identical except for a single attention block between the two bottleneck
+res blocks.
+
+Topology (parity):
+* per level i: {res(ch_i→ch_i), res(ch_i→ch_i), downsample conv4 s2 to
+  ch_{i+1}} (no downsample at the last level); the skip is stored *before*
+  the downsample;
+* bottleneck: res → [attention] → res;
+* up path: convT4 s2 (except at the top level) → center-crop skip on shape
+  mismatch → concat → res(2ch→ch) → res(ch→ch);
+* head: GN → SiLU → conv3×3×3 → in_channels.
+
+Layout is channels-last (B, D, H, W, C). The attention block uses the Pallas
+flash kernel on TPU (``attn_impl="auto"``).
+"""
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mrijax.models.blocks import (
+    AttentionBlock3D,
+    Downsample,
+    GroupNorm,
+    ResBlock3D,
+    TimeEmbedding,
+    Upsample,
+)
+from mrijax.ops.resize import center_crop_to
+
+
+class UNet3D(nn.Module):
+    in_channels: int = 16
+    base_channels: int = 64
+    channel_mults: Sequence[int] = (1, 2, 4)
+    time_emb_dim: int = 256
+    groups: int = 8
+    num_heads: int = 4
+    use_attention: bool = True
+    use_flash_attention: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        chs = [self.base_channels * m for m in self.channel_mults]
+        num_levels = len(chs)
+
+        t_emb = TimeEmbedding(self.time_emb_dim, dtype=self.dtype)(t)
+        h = nn.Conv(chs[0], (3, 3, 3), padding=1, dtype=self.dtype)(
+            x.astype(self.dtype)
+        )
+
+        skips = []
+        for i, ch in enumerate(chs):
+            h = ResBlock3D(ch, self.groups, dtype=self.dtype)(h, t_emb)
+            h = ResBlock3D(ch, self.groups, dtype=self.dtype)(h, t_emb)
+            skips.append(h)
+            if i != num_levels - 1:
+                h = Downsample(chs[i + 1], spatial_rank=3, dtype=self.dtype)(h)
+
+        h = ResBlock3D(chs[-1], self.groups, dtype=self.dtype)(h, t_emb)
+        if self.use_attention:
+            h = AttentionBlock3D(
+                num_heads=self.num_heads,
+                groups=self.groups,
+                dtype=self.dtype,
+                use_flash=self.use_flash_attention,
+            )(h)
+        h = ResBlock3D(chs[-1], self.groups, dtype=self.dtype)(h, t_emb)
+
+        for i in reversed(range(num_levels)):
+            ch = chs[i]
+            if i != num_levels - 1:
+                h = Upsample(ch, spatial_rank=3, dtype=self.dtype)(h)
+            skip = skips.pop()
+            if h.shape[1:4] != skip.shape[1:4]:
+                skip = center_crop_to(skip, h.shape[1:4])
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = ResBlock3D(ch, self.groups, dtype=self.dtype)(h, t_emb)
+            h = ResBlock3D(ch, self.groups, dtype=self.dtype)(h, t_emb)
+
+        h = GroupNorm(self.groups)(h)
+        h = jax.nn.silu(h)
+        h = nn.Conv(self.in_channels, (3, 3, 3), padding=1, dtype=self.dtype)(h)
+        return h.astype(jnp.float32)

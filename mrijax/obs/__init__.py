@@ -1,0 +1,18 @@
+"""Observability: metrics logging, signals, timing, energy accounting."""
+
+from mrijax.obs.logger import MetricsLogger
+from mrijax.obs.signals import install_signal_handlers, should_terminate, reset_termination
+from mrijax.obs.timing import StepTimer, device_memory_stats
+from mrijax.obs.energy import EnergyMonitor, NullEnergySensor, run_with_energy
+
+__all__ = [
+    "MetricsLogger",
+    "install_signal_handlers",
+    "should_terminate",
+    "reset_termination",
+    "StepTimer",
+    "device_memory_stats",
+    "EnergyMonitor",
+    "NullEnergySensor",
+    "run_with_energy",
+]

@@ -1,0 +1,53 @@
+"""Step timing and device memory telemetry.
+
+Replaces the reference's ad-hoc steps/s prints (`model.py:180-192`) and
+``torch.cuda.max_memory_allocated`` probes (`train.py:285-287`) with a timer
+that understands async dispatch (block_until_ready before reading the clock)
+and TPU memory stats from the device API.
+"""
+
+import time
+from typing import Dict, Optional
+
+import jax
+
+
+class StepTimer:
+    """Accumulates step wall-times; call ``start()`` then ``stop(result)``
+    with a device array to block on (avoids measuring dispatch only)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.num_steps = 0
+        self.total_s = 0.0
+        self._t0 = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, block_on=None):
+        if block_on is not None:
+            jax.block_until_ready(block_on)
+        dt = time.perf_counter() - self._t0
+        self.num_steps += 1
+        self.total_s += dt
+        return dt
+
+    @property
+    def steps_per_s(self) -> float:
+        return self.num_steps / max(self.total_s, 1e-8)
+
+
+def device_memory_stats(device=None) -> Dict[str, float]:
+    """Peak/current device memory in GiB (TPU analog of the reference's
+    peak-GPU-memory prints)."""
+    device = device or jax.local_devices()[0]
+    stats = device.memory_stats() or {}
+    gib = 1024 ** 3
+    return {
+        "bytes_in_use_gib": stats.get("bytes_in_use", 0) / gib,
+        "peak_bytes_in_use_gib": stats.get("peak_bytes_in_use", 0) / gib,
+        "bytes_limit_gib": stats.get("bytes_limit", 0) / gib,
+    }

@@ -1,0 +1,56 @@
+"""Group normalization (channels-last) and the fused GroupNorm+SiLU op.
+
+Semantics match ``torch.nn.GroupNorm(groups, C, eps=1e-5, affine=True)`` as
+used throughout the reference UNets/VAE (e.g.
+`model_scripts/slice_cond_2d_ddpm/unet.py:36-38`,
+`model_scripts/ddpm_3d_ldm/vae.py:8-12`), but operate on channels-LAST
+tensors ``(B, *spatial, C)`` — the TPU-native layout.
+
+These are functional ops; the learnable scale/bias live in the calling flax
+module. XLA fuses the normalization + SiLU elementwise chain into the
+surrounding convolutions; a Pallas fused kernel (mrijax.kernels) can be
+swapped in for the largest 3D activations.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def group_norm(
+    x: jnp.ndarray,
+    num_groups: int,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """GroupNorm over channels-last input of shape (B, *spatial, C).
+
+    Statistics are computed in float32 for stability and the result is cast
+    back to the input dtype (bf16-safe).
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    b = xf.shape[0]
+    c = xf.shape[-1]
+    if c % num_groups != 0:
+        raise ValueError(f"channels {c} not divisible by groups {num_groups}")
+    spatial = xf.shape[1:-1]
+    # (B, prod(spatial), G, C/G) -> reduce over (spatial, C/G) per group
+    xg = xf.reshape(b, -1, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    out = xg.reshape(b, *spatial, c)
+    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def group_norm_silu(
+    x: jnp.ndarray,
+    num_groups: int,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """GroupNorm followed by SiLU (the norm→act prologue of every res block)."""
+    return jax.nn.silu(group_norm(x, num_groups, scale, bias, eps))

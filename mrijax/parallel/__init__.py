@@ -1,0 +1,15 @@
+"""Device meshes and SPMD parallelism (replaces DataParallel/DDP-NCCL)."""
+
+from mrijax.parallel.mesh import (
+    make_mesh,
+    data_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated_sharding",
+    "shard_batch",
+]

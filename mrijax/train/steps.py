@@ -1,0 +1,196 @@
+"""Jitted SPMD train/eval steps for all three model families.
+
+Each factory returns a single compiled function covering what the reference
+spreads across a Python hot loop (H2D copies, autocast regions, GradScaler
+calls, per-step ``loss.item()`` syncs — e.g.
+`slice_cond_2d_ddpm/model.py:139-194`): timestep sampling, q_sample, model
+forward, loss, backward, and the optimizer update all fuse into one XLA
+program. Under a data-parallel mesh the gradient all-reduce over ICI is
+inserted by the SPMD partitioner — the DDP/NCCL layer of
+`ddpm_3d_ldm/train.py:76-144` has no explicit equivalent here.
+
+Conventions: batches are channels-last pytrees of device arrays (shard the
+batch dim with ``mrijax.parallel.shard_batch``); params are replicated;
+losses come back as fp32 scalars (replicated, so ``float(loss)`` needs no
+extra collective).
+"""
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mrijax.diffusion import GaussianDiffusion
+
+
+def sample_timesteps(key, batch_size: int, timesteps: int, t_min: int = 0):
+    """t ~ U[t_min, T). 2D/2.5D use t_min=0 (model.py:154-159); the 3D latent
+    trainer uses t_min=1 (train.py:391)."""
+    return jax.random.randint(key, (batch_size,), t_min, timesteps)
+
+
+# --------------------------------------------------------------------- DDPM
+
+
+def make_diffusion_train_step(
+    model, diffusion: GaussianDiffusion, *, t_min: int = 0, donate: bool = True
+):
+    """Train step for the 2D / 2.5D DDPMs.
+
+    batch: {"image": (B, H, W, C), "z_pos": (B,) [, "context": (B, H, W, Ck)]}
+    """
+
+    def loss_fn(params, batch, t, noise):
+        context = batch.get("context")
+
+        def model_fn(x, tt):
+            return model.apply(params, x, tt, batch["z_pos"], context)
+
+        return diffusion.p_losses(model_fn, batch["image"], t, noise)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, batch, key):
+        tkey, nkey = jax.random.split(key)
+        b = batch["image"].shape[0]
+        t = sample_timesteps(tkey, b, diffusion.timesteps, t_min)
+        noise = jax.random.normal(nkey, batch["image"].shape, jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, t, noise)
+        state = state.apply_gradients(grads=grads)
+        return state, loss
+
+    return train_step
+
+
+def make_diffusion_eval_step(model, diffusion: GaussianDiffusion, *, t_min: int = 0):
+    def loss_fn(params, batch, t, noise):
+        context = batch.get("context")
+
+        def model_fn(x, tt):
+            return model.apply(params, x, tt, batch["z_pos"], context)
+
+        return diffusion.p_losses(model_fn, batch["image"], t, noise)
+
+    @jax.jit
+    def eval_step(params, batch, key):
+        tkey, nkey = jax.random.split(key)
+        b = batch["image"].shape[0]
+        t = sample_timesteps(tkey, b, diffusion.timesteps, t_min)
+        noise = jax.random.normal(nkey, batch["image"].shape, jnp.float32)
+        return loss_fn(params, batch, t, noise)
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------- VAE
+
+
+def vae_loss(recon, x, mu, logvar, kl_weight: float):
+    """L1 reconstruction + KL (reference `ddpm_3d_ldm/train.py:277-279`):
+    kl = -0.5 * mean(1 + logσ² - μ² - e^{logσ²})."""
+    recon_loss = jnp.mean(jnp.abs(recon.astype(jnp.float32) - x.astype(jnp.float32)))
+    kl = -0.5 * jnp.mean(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar))
+    return recon_loss + kl_weight * kl, (recon_loss, kl)
+
+
+def make_vae_train_step(vae, *, kl_weight: float = 1e-4, donate: bool = True):
+    """batch: {"volume": (B, D, H, W, C)}."""
+
+    def loss_fn(params, x, rng):
+        recon, mu, logvar = vae.apply(params, x, rng)
+        return vae_loss(recon, x, mu, logvar, kl_weight)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, batch, key):
+        (loss, (recon_loss, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch["volume"], key
+        )
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss, "recon": recon_loss, "kl": kl}
+
+    return train_step
+
+
+def make_vae_eval_step(vae, *, kl_weight: float = 1e-4):
+    @jax.jit
+    def eval_step(params, batch, key):
+        recon, mu, logvar = vae.apply(params, batch["volume"], key)
+        loss, (recon_loss, kl) = vae_loss(
+            recon, batch["volume"], mu, logvar, kl_weight
+        )
+        return {"loss": loss, "recon": recon_loss, "kl": kl}
+
+    return eval_step
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _encode_latent(vae, vae_params, x):
+    return vae.apply(vae_params, x, method="encode_to_latent")
+
+
+def estimate_latent_scale(vae, vae_params, batches) -> float:
+    """1/√(mean per-batch latent variance) over ≤N batches
+    (reference `ddpm_3d_ldm/train.py:350-364`). Under SPMD every device sees
+    the same replicated result — no rank-0 broadcast needed."""
+    vars_ = []
+    for x in batches:
+        z = _encode_latent(vae, vae_params, x)
+        vars_.append(float(jnp.var(z)))
+    v = float(jnp.mean(jnp.asarray(vars_))) if vars_ else 1.0
+    return 1.0 / (max(v, 1e-8) ** 0.5)
+
+
+# ----------------------------------------------------------- latent diffusion
+
+
+def make_latent_diffusion_train_step(
+    unet, vae, diffusion: GaussianDiffusion, *, t_min: int = 1, donate: bool = True
+):
+    """Stage-2 LDM step: frozen-VAE encode → scale → min-SNR diffusion loss.
+
+    batch: {"volume": (B, D, H, W, C)}; ``latent_scale`` is a traced scalar
+    so re-estimation does not recompile.
+    """
+
+    def loss_fn(params, z, t, noise):
+        def model_fn(x, tt):
+            return unet.apply(params, x, tt)
+
+        return diffusion.p_losses(model_fn, z, t, noise)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, vae_params, batch, key, latent_scale):
+        z = vae.apply(vae_params, batch["volume"], method="encode_to_latent")
+        z = jax.lax.stop_gradient(z.astype(jnp.float32)) * latent_scale
+        tkey, nkey = jax.random.split(key)
+        t = sample_timesteps(tkey, z.shape[0], diffusion.timesteps, t_min)
+        noise = jax.random.normal(nkey, z.shape, jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, z, t, noise)
+        state = state.apply_gradients(grads=grads)
+        return state, loss
+
+    return train_step
+
+
+def make_latent_diffusion_eval_step(unet, vae, diffusion: GaussianDiffusion):
+    """Fixed-timestep validation: the reference evaluates on a deterministic
+    grid linspace(1, T-1, 8) cycled across batches for low-variance val loss
+    (`ddpm_3d_ldm/train.py:446-458`). Pass the grid value as ``t_fixed``."""
+
+    @jax.jit
+    def eval_step(params, vae_params, batch, key, latent_scale, t_fixed):
+        z = vae.apply(vae_params, batch["volume"], method="encode_to_latent")
+        z = z.astype(jnp.float32) * latent_scale
+        t = jnp.full((z.shape[0],), t_fixed, jnp.int32)
+        noise = jax.random.normal(key, z.shape, jnp.float32)
+
+        def model_fn(x, tt):
+            return unet.apply(params, x, tt)
+
+        return diffusion.p_losses(model_fn, z, t, noise)
+
+    return eval_step
+
+
+def fixed_validation_timesteps(timesteps: int, n: int = 8) -> jnp.ndarray:
+    return jnp.linspace(1, timesteps - 1, n).astype(jnp.int32)

@@ -1,0 +1,195 @@
+"""Data layer tests: NIfTI round-trip, normalization parity with the
+reference formulas, dataset indexing, packing, loader sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mrijax.data import (
+    BatchLoader,
+    MultiModalSliceDataset25D,
+    PackedSliceDataset,
+    SliceDataset2D,
+    VolumeDataset3D,
+    apply_split,
+    central_slice_range,
+    epoch_permutation,
+    nifti,
+    pack_dataset,
+    split_subjects,
+    volume_split_indices,
+    zscore_nonzero,
+)
+from mrijax.data.datasets import _zscore_nonzero_np, _resize_bilinear_np
+from mrijax.data.synthetic import make_brain_volume, write_synthetic_brats
+
+
+@pytest.fixture(scope="module")
+def brats_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("brats")
+    return write_synthetic_brats(root, num_subjects=3, shape=(40, 44, 24), seed=7)
+
+
+def reference_normalize_slice(slice_2d):
+    """Literal transcription of the reference's per-slice math
+    (`slice_cond_2d_ddpm/dataset.py:73-95`, in [-1,1] terms)."""
+    s = slice_2d.astype(np.float32).copy()
+    mask = s != 0
+    if np.any(mask):
+        mean = s[mask].mean()
+        std = s[mask].std()
+        std = std if std > 0 else 1.0
+        s[mask] = (s[mask] - mean) / std
+    s = np.clip(s, -5, 5)
+    s = (s + 5) / 10.0
+    return s * 2.0 - 1.0
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    vol = make_brain_volume(rng, (17, 19, 11))
+    for name in ("v.nii", "v.nii.gz"):
+        p = tmp_path / name
+        nifti.save(p, vol)
+        back = nifti.load(p)
+        np.testing.assert_array_equal(back, vol)
+        hdr = nifti.load_header(p)
+        assert hdr.shape == vol.shape
+
+
+def test_zscore_nonzero_matches_reference_math():
+    rng = np.random.default_rng(1)
+    sl = make_brain_volume(rng, (32, 32, 3))[:, :, 1]
+    ours_np = _zscore_nonzero_np(sl)
+    ours_jax = np.asarray(zscore_nonzero(sl))
+    ref = reference_normalize_slice(sl)
+    np.testing.assert_allclose(ours_np, ref, atol=1e-5)
+    np.testing.assert_allclose(ours_jax, ref, atol=1e-5)
+    # background stays exactly 0 on the numpy path, ~0 on device
+    assert ours_np[sl == 0].max(initial=0.0) == 0.0
+    np.testing.assert_allclose(ours_jax[sl == 0], 0.0, atol=1e-6)
+
+
+def test_zscore_allzero_fallback():
+    z = np.asarray(zscore_nonzero(np.zeros((8, 8), np.float32)))
+    assert np.all(np.isfinite(z))
+    np.testing.assert_allclose(z, 0.0, atol=1e-6)
+
+
+def test_resize_bilinear_np_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(37, 45)).astype(np.float32)
+    ours = _resize_bilinear_np(img, (128, 128))
+    theirs = (
+        F.interpolate(
+            torch.from_numpy(img)[None, None],
+            size=(128, 128), mode="bilinear", align_corners=False,
+        )[0, 0].numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_slice_dataset_2d(brats_root):
+    ds = SliceDataset2D(brats_root, image_size=64)
+    depth = 24
+    zs = list(central_slice_range(depth))
+    assert len(ds) == 3 * len(zs)
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 1)
+    assert s["image"].dtype == np.float32
+    assert -1.0 <= s["image"].min() and s["image"].max() <= 1.0
+    np.testing.assert_allclose(s["z_pos"], zs[0] / (depth - 1))
+
+
+def test_multimodal_dataset_25d(brats_root):
+    r = 2
+    ds = MultiModalSliceDataset25D(brats_root, image_size=32, slice_radius=r)
+    depth = 24
+    zs = list(central_slice_range(depth, radius=r))
+    assert len(ds) == 3 * len(zs)
+    s = ds[0]
+    assert s["image"].shape == (32, 32, 4)
+    assert s["context"].shape == (32, 32, 4 * 2 * r)
+    # context ordering: dz-major, modality-minor — channel 0 is t1 at dz=-r
+    flair_path, z = ds.slice_tuples[0]
+    t1 = nifti.load(str(flair_path).replace("_flair.nii.gz", "_t1.nii.gz"))
+    from mrijax.data.datasets import preprocess_slice_np
+
+    expected = preprocess_slice_np(t1[:, :, z - r], 32)
+    np.testing.assert_allclose(s["context"][:, :, 0], expected, atol=1e-6)
+
+
+def test_volume_dataset_3d(brats_root):
+    ds = VolumeDataset3D(brats_root, patch_size=(32, 48, 48), random_crop=False)
+    assert len(ds) == 3
+    v = ds[0]["volume"]
+    assert v.shape == (32, 48, 48, 4)
+    assert np.isfinite(v).all()
+    assert v.min() >= -1.0 and v.max() <= 1.0
+
+
+def test_pack_and_packed_dataset(brats_root, tmp_path):
+    out = tmp_path / "packed"
+    index = pack_dataset(brats_root, out, image_size=48, use_device=False)
+    assert len(index["files"]) == 3
+    packed = PackedSliceDataset(out)
+    raw = SliceDataset2D(brats_root, image_size=48)
+    assert len(packed) == len(raw)
+    a, b = packed[5], raw[5]
+    np.testing.assert_allclose(a["image"], b["image"], atol=1e-5)
+    np.testing.assert_allclose(a["z_pos"], b["z_pos"])
+
+
+def test_device_and_host_preprocess_agree(brats_root, tmp_path):
+    out_d = tmp_path / "packed_dev"
+    out_h = tmp_path / "packed_host"
+    pack_dataset(brats_root, out_d, image_size=48, use_device=True)
+    pack_dataset(brats_root, out_h, image_size=48, use_device=False)
+    a, b = PackedSliceDataset(out_d)[3], PackedSliceDataset(out_h)[3]
+    np.testing.assert_allclose(a["image"], b["image"], atol=2e-5)
+
+
+def test_batch_loader_shards_over_mesh(brats_root):
+    from mrijax.parallel import make_mesh
+
+    mesh = make_mesh(("data",))
+    ds = SliceDataset2D(brats_root, image_size=32)
+    loader = BatchLoader(ds, batch_size=8, mesh=mesh, seed=3)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 8
+    b = batches[0]
+    assert b["image"].shape == (8, 32, 32, 1)
+    assert len(b["image"].sharding.device_set) == jax.device_count()
+    # epoch permutation changes order but not multiset
+    loader.set_epoch(1)
+    b1 = next(iter(loader))
+    assert not np.allclose(np.asarray(b["image"]), np.asarray(b1["image"]))
+
+
+def test_epoch_permutation_deterministic():
+    np.testing.assert_array_equal(epoch_permutation(100, 3, 0), epoch_permutation(100, 3, 0))
+    assert not np.array_equal(epoch_permutation(100, 3, 0), epoch_permutation(100, 4, 0))
+
+
+def test_split_subjects_and_apply(tmp_path):
+    src = tmp_path / "all"
+    for i in range(10):
+        (src / f"sub{i:02d}").mkdir(parents=True)
+    splits = split_subjects([p for p in src.iterdir()], seed=42)
+    assert len(splits["train"]) == 8 and len(splits["val"]) == 1 and len(splits["test"]) == 1
+    out = tmp_path / "out"
+    apply_split(src, out, seed=42, mode="symlink")
+    assert (out / "splits" / "train.txt").read_text().count("\n") == 8
+    assert len(list((out / "train").iterdir())) == 8
+    with pytest.raises(ValueError):
+        apply_split(src, src / "bad", seed=42)
+
+
+def test_volume_split_indices_no_overlap():
+    train, val, test = volume_split_indices(50, seed=42)
+    assert len(set(train) | set(val) | set(test)) == 50
+    assert not (set(train) & set(val)) and not (set(val) & set(test))
