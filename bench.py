@@ -1,0 +1,115 @@
+"""Headline benchmark: 3D MRI volume sampling throughput per chip.
+
+Protocol (matches the reference's only full generation pipeline,
+`ddpm_3d_ldm/show_model.py:249-259`): T=400-step denoising of a 16-channel
+32×40×40 latent with the flagship UNet3D (+bottleneck attention, base 128,
+mults (1,2,4)) followed by VAE3D decode to a 4-modality 128×160×160 volume.
+Here the whole loop is ONE compiled ``lax.scan`` (DDIM, same 400 model
+evaluations), bf16 compute, Pallas flash attention at the 51 200-token
+bottleneck.
+
+Prints ONE JSON line: volumes/sec/chip and the ratio vs the GPU baseline.
+
+Baseline: the reference publishes no sampling throughput. Estimate for its
+hardware (A100 MIG 4g.20gb, `job_submission_scripts/training_job.sh:4`):
+400 sequential eager UNet forwards (each ≈ 2×0.67 TFLOP attention +
+~1.5 TFLOP convs at fp16/bf16 on a 4g.20gb slice ≈ 78 TFLOP/s peak,
+realistically ~35% util) ≈ 55 ms/step → ~22 s + decode ≈ 0.045 vol/s.
+BENCH_r{N}.json history tracks our absolute number either way.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BASELINE_VOL_PER_S = 0.045  # estimated reference GPU pipeline (see docstring)
+T_STEPS = 400
+LATENT_SHAPE = (1, 32, 40, 40, 16)
+VOLUME_SHAPE = (128, 160, 160)
+
+
+def _init_on_cpu(model, *example_args):
+    """flax init executes the forward — run it on host CPU at a tiny spatial
+    size (params are spatial-size-agnostic) instead of eagerly through the
+    device tunnel."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.PRNGKey(0), *example_args)
+    return jax.device_put(params, jax.devices()[0])
+
+
+def build_pipeline():
+    from mrijax.diffusion import GaussianDiffusion, cosine_beta_schedule, make_schedule
+    from mrijax.models import UNet3D, VAE3D
+
+    on_tpu = jax.default_backend() == "tpu"
+    unet_kw = dict(
+        in_channels=16, base_channels=128, channel_mults=(1, 2, 4),
+        use_attention=True, num_heads=4, dtype=jnp.bfloat16,
+    )
+    unet = UNet3D(use_flash_attention=on_tpu, **unet_kw)
+    unet_init = UNet3D(use_flash_attention=False, **unet_kw)
+    vae = VAE3D(
+        in_channels=4, base_channels=32, num_down=3, latent_channels=16,
+        dtype=jnp.bfloat16,
+    )
+    sched = make_schedule(cosine_beta_schedule(T_STEPS))
+    diffusion = GaussianDiffusion(sched)
+
+    unet_params = _init_on_cpu(
+        unet_init, jnp.zeros((1, 8, 8, 8, 16), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32),
+    )
+    vae_params = _init_on_cpu(
+        vae, jnp.zeros((1, 16, 16, 16, 4), jnp.bfloat16), jax.random.PRNGKey(1)
+    )
+
+    def sample_volume(rng):
+        def model_fn(x, t):
+            return unet.apply(unet_params, x, t)
+
+        z = diffusion.ddim_sample(model_fn, LATENT_SHAPE, rng, num_steps=T_STEPS)
+        return vae.apply(vae_params, z, method="decode_from_latent")
+
+    return jax.jit(sample_volume)
+
+
+def main():
+    t_setup = time.perf_counter()
+    sample = build_pipeline()
+    rng = jax.random.PRNGKey(42)
+
+    # compile + warmup; readback forces full synchronization (the axon
+    # tunnel's block_until_ready does not reliably block)
+    vol = sample(rng)
+    _ = float(jnp.asarray(vol, jnp.float32).mean())
+    setup_s = time.perf_counter() - t_setup
+
+    n_runs = 2
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        vol = sample(jax.random.fold_in(rng, i))
+        _ = float(jnp.asarray(vol, jnp.float32).mean())
+    dt = (time.perf_counter() - t0) / n_runs
+
+    vols_per_s = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "3d_ldm_volume_sampling_throughput",
+                "value": round(vols_per_s, 5),
+                "unit": "volumes/sec/chip (T=400 DDIM + VAE decode, 128x160x160x4 out)",
+                "vs_baseline": round(vols_per_s / BASELINE_VOL_PER_S, 3),
+                "secs_per_volume": round(dt, 3),
+                "setup_secs": round(setup_s, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Orbax checkpointing with full train-state resume.
+
+The reference only ever saves bare ``state_dict`` weights — no optimizer
+state, epoch counter, or RNG — so "resume" does not exist there (training
+always restarts from scratch; SURVEY.md §5). Here a checkpoint is the full
+training snapshot:
+
+* ``state``    — params + optimizer state + step (flax TrainState pytree),
+* ``extra``    — host-side scalars (epoch, best val loss, early-stop /
+  plateau counters, latent scale, RNG key), so a preempted run continues
+  exactly where it stopped — the missing half of the reference's SIGUSR1
+  graceful-shutdown story (`helpers/signals.py` + SLURM ``--signal``).
+
+Policies: keep last N + always keep the best-by-val checkpoint (the
+reference's best-val-only policy, `slice_cond_2d_ddpm/model.py:264-278`,
+plus history). Under SPMD every process calls save with the same global
+arrays; orbax handles the multi-host coordination.
+
+``save_params_npz`` / ``load_params_npz`` provide a torch-free portable
+single-file export (the ``.pt`` analog) for shipping weights to inference.
+"""
+
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """(state, extra) checkpoints with two retention policies at once:
+
+    * ``<dir>/``      — the last ``max_to_keep`` steps (for resume),
+    * ``<dir>/best/`` — the single best-by-``best_key`` step (for
+      inference/eval), tracked in ``<dir>/best.json``.
+
+    Orbax's own best_fn retention keeps the best-N and *drops the latest*,
+    which breaks resume — hence the split.
+    """
+
+    def __init__(
+        self,
+        directory,
+        *,
+        max_to_keep: int = 3,
+        best_key: Optional[str] = "val_loss",
+    ):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.best_key = best_key
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+        self._best_mgr = None
+        if best_key:
+            self._best_mgr = ocp.CheckpointManager(
+                self.directory / "best",
+                options=ocp.CheckpointManagerOptions(max_to_keep=1),
+            )
+
+    def _best_record(self) -> dict:
+        p = self.directory / "best.json"
+        if p.exists():
+            return json.loads(p.read_text())
+        return {}
+
+    def save(self, step: int, state, extra: Optional[dict] = None, metrics: Optional[dict] = None):
+        args = {"state": ocp.args.StandardSave(state)}
+        if extra is not None:
+            args["extra"] = ocp.args.JsonSave(_jsonify(extra))
+        self._mgr.save(step, args=ocp.args.Composite(**args))
+        metrics = metrics or {}
+        if self._best_mgr and self.best_key in metrics:
+            val = float(metrics[self.best_key])
+            rec = self._best_record()
+            if not rec or val < rec["value"]:
+                self._best_mgr.save(step, args=ocp.args.Composite(**args))
+                self._best_mgr.wait_until_finished()
+                (self.directory / "best.json").write_text(
+                    json.dumps({"step": step, "value": val})
+                )
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+        if self._best_mgr:
+            self._best_mgr.wait_until_finished()
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    @property
+    def best_step(self) -> Optional[int]:
+        rec = self._best_record()
+        return rec.get("step")
+
+    def restore(self, state_template, step: Optional[int] = None, *, best: bool = False):
+        """Restore (state, extra). ``state_template`` is an abstract or
+        concrete pytree with the target structure/shardings. ``best=True``
+        loads the best-by-val checkpoint instead of the latest."""
+        mgr = self._best_mgr if best else self._mgr
+        if best and mgr is None:
+            raise ValueError("no best-checkpoint tracking configured")
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        restored = mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state_template),
+                extra=ocp.args.JsonRestore(),
+            ),
+        )
+        return restored["state"], restored.get("extra")
+
+    def close(self):
+        self._mgr.close()
+        if self._best_mgr:
+            self._best_mgr.close()
+
+
+def _jsonify(d: dict) -> dict:
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, (np.floating, np.integer)):
+            v = v.item()
+        elif isinstance(v, jax.Array):
+            v = np.asarray(v).tolist()
+        out[k] = v
+    return out
+
+
+def save_params_npz(path, params: Any, meta: Optional[dict] = None) -> None:
+    """Portable single-file weight export: flattened pytree → npz, with the
+    tree structure (and optional model config) in a JSON sidecar entry."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {}
+    keys = []
+    for i, (kpath, leaf) in enumerate(flat):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in kpath)
+        keys.append(name)
+        arrays[f"arr_{i}"] = np.asarray(leaf)
+    arrays["__keys__"] = np.asarray(json.dumps({"keys": keys, "meta": meta or {}}))
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def load_params_npz(path):
+    """Returns (params_as_nested_dict, meta)."""
+    with np.load(path, allow_pickle=False) as z:
+        info = json.loads(str(z["__keys__"]))
+        leaves = [z[f"arr_{i}"] for i in range(len(info["keys"]))]
+    params: dict = {}
+    for name, leaf in zip(info["keys"], leaves):
+        node = params
+        parts = name.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return params, info["meta"]

@@ -8,6 +8,7 @@ from mrijax.train.state import (
     get_learning_rate,
     set_learning_rate,
 )
+from mrijax.train.trainer import Trainer, TrainerResult
 from mrijax.train.steps import (
     make_diffusion_train_step,
     make_diffusion_eval_step,
@@ -32,4 +33,6 @@ __all__ = [
     "make_latent_diffusion_train_step",
     "make_latent_diffusion_eval_step",
     "sample_timesteps",
+    "Trainer",
+    "TrainerResult",
 ]

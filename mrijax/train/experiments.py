@@ -1,0 +1,367 @@
+"""Experiment drivers: config → data → model → Trainer for all 3 families.
+
+These are the TPU-native equivalents of the reference's three training
+entry points (`python -m model_scripts.<exp>.<module>`):
+
+* ``train_slice_cond_2d``  ~ slice_cond_2d_ddpm/model.py
+* ``train_ddpm_25d``       ~ ddpm_25d_all_modalities/model.py
+* ``train_ddpm_3d_ldm``    ~ ddpm_3d_ldm/train.py (two-stage: VAE → LDM,
+  with latent-scale estimation between stages and the fixed-timestep
+  validation grid)
+
+``run_experiment`` dispatches on ``cfg.family``. A data-parallel mesh over
+all devices replaces both DataParallel and DDP/NCCL; pass ``mesh=None`` to
+build one automatically.
+"""
+
+import itertools
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mrijax.config import DiffusionConfig, ExperimentConfig, TrainConfig, UNetConfig, VAEConfig
+from mrijax.data import (
+    BatchLoader,
+    MultiModalSliceDataset25D,
+    PackedSliceDataset,
+    SliceDataset2D,
+    VolumeDataset3D,
+    split_dataset,
+    take_subset,
+)
+from mrijax.diffusion import (
+    GaussianDiffusion,
+    cosine_beta_schedule,
+    linear_beta_schedule,
+    make_schedule,
+)
+from mrijax.io import CheckpointManager
+from mrijax.models import UNet2D, UNet3D, VAE3D
+from mrijax.obs import MetricsLogger, install_signal_handlers
+from mrijax.parallel import make_mesh, replicated_sharding
+from mrijax.train.state import create_train_state
+from mrijax.train.steps import (
+    estimate_latent_scale,
+    fixed_validation_timesteps,
+    make_diffusion_eval_step,
+    make_diffusion_train_step,
+    make_latent_diffusion_eval_step,
+    make_latent_diffusion_train_step,
+    make_vae_eval_step,
+    make_vae_train_step,
+)
+from mrijax.train.trainer import Trainer, TrainerResult
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+def build_diffusion(cfg: DiffusionConfig) -> GaussianDiffusion:
+    if cfg.schedule == "linear":
+        betas = linear_beta_schedule(cfg.timesteps, cfg.beta_start, cfg.beta_end)
+    elif cfg.schedule == "cosine":
+        betas = cosine_beta_schedule(cfg.timesteps)
+    else:
+        raise ValueError(f"unknown schedule {cfg.schedule!r}")
+    return GaussianDiffusion(
+        make_schedule(betas), loss_type=cfg.loss_type, min_snr_gamma=cfg.min_snr_gamma
+    )
+
+
+def build_unet2d(cfg: UNetConfig) -> UNet2D:
+    return UNet2D(
+        in_channels=cfg.in_channels,
+        out_channels=cfg.out_channels,
+        base_channels=cfg.base_channels,
+        channel_mults=cfg.channel_mults,
+        time_emb_dim=cfg.time_emb_dim,
+        groups=cfg.groups,
+        dtype=_dtype(cfg.compute_dtype),
+    )
+
+
+def build_unet3d(cfg: UNetConfig, *, use_flash: Optional[bool] = None) -> UNet3D:
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    return UNet3D(
+        in_channels=cfg.in_channels,
+        base_channels=cfg.base_channels,
+        channel_mults=cfg.channel_mults,
+        time_emb_dim=cfg.time_emb_dim,
+        groups=cfg.groups,
+        num_heads=cfg.num_heads,
+        use_attention=cfg.use_attention,
+        use_flash_attention=use_flash,
+        dtype=_dtype(cfg.compute_dtype),
+    )
+
+
+def build_vae3d(cfg: VAEConfig) -> VAE3D:
+    return VAE3D(
+        in_channels=cfg.in_channels,
+        base_channels=cfg.base_channels,
+        num_down=cfg.num_down,
+        latent_channels=cfg.latent_channels,
+        dtype=_dtype(cfg.compute_dtype),
+    )
+
+
+def _make_loaders(cfg: ExperimentConfig, dataset, mesh):
+    d = cfg.data
+    if d.subsample_fraction:
+        dataset = take_subset(dataset, fraction=d.subsample_fraction, seed=42)
+    if cfg.train.debug_fast:
+        dataset = take_subset(dataset, max_items=max(4 * d.batch_size, 64), seed=42)
+    train_ds, val_ds = split_dataset(dataset, d.val_fraction, seed=0)
+    train_loader = BatchLoader(
+        train_ds, d.batch_size, shuffle=True, drop_last=True,
+        seed=d.shuffle_seed, mesh=mesh,
+    )
+    val_loader = BatchLoader(
+        val_ds, d.batch_size, shuffle=False, drop_last=False, mesh=mesh
+    )
+    # drop_last=False can yield a final batch not divisible by the mesh;
+    # keep validation simple by dropping it when sharded.
+    if mesh is not None:
+        val_loader.drop_last = True
+    return train_loader, val_loader
+
+
+def _build_2d_dataset(cfg: ExperimentConfig):
+    d = cfg.data
+    if d.packed_dir:
+        return PackedSliceDataset(d.packed_dir)
+    return SliceDataset2D(d.root_dir, d.image_size, d.modality_suffix)
+
+
+def _trainer(cfg_train: TrainConfig, *, ckpt_dir, logger, train_step, eval_step,
+             train_loader, val_loader, prefix="", extra=None) -> Trainer:
+    ckpt = CheckpointManager(
+        Path(cfg_train.checkpoint_dir) / ckpt_dir,
+        max_to_keep=cfg_train.max_checkpoints,
+    )
+    return Trainer(
+        train_step=train_step,
+        eval_step=eval_step,
+        train_loader=train_loader,
+        val_loader=val_loader,
+        logger=logger,
+        checkpoint_manager=ckpt,
+        epochs=cfg_train.epochs,
+        plateau_factor=cfg_train.plateau_factor,
+        plateau_patience=cfg_train.plateau_patience,
+        early_stop_patience=cfg_train.early_stop_patience,
+        log_every_steps=cfg_train.log_every_steps,
+        debug_max_steps=cfg_train.debug_max_steps if cfg_train.debug_fast else None,
+        seed=cfg_train.seed,
+        metric_prefix=prefix,
+        checkpoint_extra=extra,
+        resume=cfg_train.resume,
+    )
+
+
+def _init_params(model, *args, seed=0, mesh=None):
+    """Init on host CPU (flax init executes the forward; keep it off the
+    device tunnel), then replicate across the mesh (or place on the default
+    device when mesh is None)."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.PRNGKey(seed), *args)
+    target = replicated_sharding(mesh) if mesh is not None else jax.devices()[0]
+    return jax.device_put(params, target)
+
+
+# ------------------------------------------------------------- 2D / 2.5D
+
+
+def train_slice_cond_2d(cfg: ExperimentConfig, mesh=None, logger=None) -> TrainerResult:
+    install_signal_handlers()
+    mesh = mesh or make_mesh(("data",))
+    logger = logger or MetricsLogger(cfg.family, run_name=cfg.name)
+    logger.log_params(_flatten_cfg(cfg))
+
+    dataset = _build_2d_dataset(cfg)
+    train_loader, val_loader = _make_loaders(cfg, dataset, mesh)
+
+    model = build_unet2d(cfg.unet)
+    diffusion = build_diffusion(cfg.diffusion)
+    s = cfg.data.image_size
+    params = _init_params(
+        model,
+        jnp.zeros((1, s, s, cfg.unet.in_channels), jnp.float32),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,)),
+        seed=cfg.train.seed, mesh=mesh,
+    )
+    state = jax.device_put(
+        create_train_state(params, cfg.train.learning_rate),
+        replicated_sharding(mesh),
+    )
+
+    train_step = make_diffusion_train_step(model, diffusion, t_min=cfg.diffusion.t_min)
+    eval_step = make_diffusion_eval_step(model, diffusion, t_min=cfg.diffusion.t_min)
+    trainer = _trainer(
+        cfg.train, ckpt_dir=f"{cfg.family}/{cfg.name}", logger=logger,
+        train_step=train_step, eval_step=eval_step,
+        train_loader=train_loader, val_loader=val_loader,
+    )
+    with mesh:
+        result = trainer.fit(state)
+    logger.finish()
+    return result
+
+
+def train_ddpm_25d(cfg: ExperimentConfig, mesh=None, logger=None) -> TrainerResult:
+    install_signal_handlers()
+    mesh = mesh or make_mesh(("data",))
+    logger = logger or MetricsLogger(cfg.family, run_name=cfg.name)
+    logger.log_params(_flatten_cfg(cfg))
+
+    d = cfg.data
+    dataset = MultiModalSliceDataset25D(d.root_dir, d.image_size, d.slice_radius)
+    train_loader, val_loader = _make_loaders(cfg, dataset, mesh)
+
+    model = build_unet2d(cfg.unet)
+    diffusion = build_diffusion(cfg.diffusion)
+    s = d.image_size
+    ctx_ch = cfg.unet.in_channels - cfg.unet.out_channels
+    params = _init_params(
+        model,
+        jnp.zeros((1, s, s, cfg.unet.out_channels), jnp.float32),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,)),
+        jnp.zeros((1, s, s, ctx_ch), jnp.float32),
+        seed=cfg.train.seed, mesh=mesh,
+    )
+    state = jax.device_put(
+        create_train_state(params, cfg.train.learning_rate),
+        replicated_sharding(mesh),
+    )
+
+    train_step = make_diffusion_train_step(model, diffusion, t_min=cfg.diffusion.t_min)
+    eval_step = make_diffusion_eval_step(model, diffusion, t_min=cfg.diffusion.t_min)
+    trainer = _trainer(
+        cfg.train, ckpt_dir=f"{cfg.family}/{cfg.name}", logger=logger,
+        train_step=train_step, eval_step=eval_step,
+        train_loader=train_loader, val_loader=val_loader,
+    )
+    with mesh:
+        result = trainer.fit(state)
+    logger.finish()
+    return result
+
+
+# ------------------------------------------------------------ 3D two-stage
+
+
+def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
+    """Two-stage: (1) VAE on volumes; (2) frozen-VAE latent diffusion.
+
+    Returns (vae_result, ldm_result, latent_scale). The latent-scale
+    estimate runs as replicated SPMD compute (no rank-0 broadcast —
+    reference `train.py:350-364,539-553`).
+    """
+    install_signal_handlers()
+    mesh = mesh or make_mesh(("data",))
+    logger = logger or MetricsLogger(cfg.family, run_name=cfg.name)
+    logger.log_params(_flatten_cfg(cfg))
+
+    d = cfg.data
+    dataset = VolumeDataset3D(d.root_dir, d.patch_size, random_crop=True)
+    train_loader, val_loader = _make_loaders(cfg, dataset, mesh)
+
+    vae = build_vae3d(cfg.vae)
+    vol_shape = (1, *d.patch_size, cfg.vae.in_channels)
+    vae_params = _init_params(
+        vae, jnp.zeros((1, 16, 16, 16, cfg.vae.in_channels), jnp.float32),
+        jax.random.PRNGKey(1), seed=cfg.vae_train.seed, mesh=mesh,
+    )
+    vae_state = jax.device_put(
+        create_train_state(vae_params, cfg.vae_train.learning_rate),
+        replicated_sharding(mesh),
+    )
+
+    vae_trainer = _trainer(
+        cfg.vae_train, ckpt_dir=f"{cfg.family}/{cfg.name}/vae", logger=logger,
+        train_step=make_vae_train_step(vae, kl_weight=cfg.vae.kl_weight),
+        eval_step=make_vae_eval_step(vae, kl_weight=cfg.vae.kl_weight),
+        train_loader=train_loader, val_loader=val_loader, prefix="vae_",
+    )
+    with mesh:
+        vae_result = vae_trainer.fit(vae_state)
+    vae_params = vae_result.state.params  # frozen from here on
+
+    # latent-scale estimation over ≤200 batches (replicated, deterministic)
+    train_loader.set_epoch(0)
+    batches = (b["volume"] for _, b in zip(range(200), iter(train_loader)))
+    with mesh:
+        latent_scale = estimate_latent_scale(vae, vae_params, batches)
+    logger.log_metric("latent_scale", latent_scale)
+    print(f"[3d_ldm] latent scale = {latent_scale:.4f}")
+
+    unet = build_unet3d(cfg.unet)
+    diffusion = build_diffusion(cfg.diffusion)
+    unet_init = build_unet3d(cfg.unet, use_flash=False)
+    unet_params = _init_params(
+        unet_init,
+        jnp.zeros((1, 8, 8, 8, cfg.vae.latent_channels), jnp.float32),
+        jnp.zeros((1,), jnp.int32),
+        seed=cfg.train.seed, mesh=mesh,
+    )
+    ldm_state = jax.device_put(
+        create_train_state(unet_params, cfg.train.learning_rate),
+        replicated_sharding(mesh),
+    )
+
+    ldm_step = make_latent_diffusion_train_step(
+        unet, vae, diffusion, t_min=cfg.diffusion.t_min
+    )
+    ldm_eval = make_latent_diffusion_eval_step(unet, vae, diffusion)
+    t_grid = fixed_validation_timesteps(cfg.diffusion.timesteps, 8)
+    counter = itertools.count()
+
+    def train_step(state, batch, key):
+        return ldm_step(state, vae_params, batch, key, latent_scale)
+
+    def eval_step(params, batch, key):
+        # fixed-timestep validation grid, cycled per batch (train.py:446-458)
+        t_fixed = t_grid[next(counter) % len(t_grid)]
+        return ldm_eval(params, vae_params, batch, key, latent_scale, t_fixed)
+
+    ldm_trainer = _trainer(
+        cfg.train, ckpt_dir=f"{cfg.family}/{cfg.name}/ldm", logger=logger,
+        train_step=train_step, eval_step=eval_step,
+        train_loader=train_loader, val_loader=val_loader, prefix="ldm_",
+        extra=lambda: {"latent_scale": float(latent_scale)},
+    )
+    with mesh:
+        ldm_result = ldm_trainer.fit(ldm_state)
+    logger.finish()
+    return vae_result, ldm_result, latent_scale
+
+
+def run_experiment(cfg: ExperimentConfig, mesh=None):
+    fn = {
+        "slice_cond_2d": train_slice_cond_2d,
+        "ddpm_25d": train_ddpm_25d,
+        "ddpm_3d_ldm": train_ddpm_3d_ldm,
+    }.get(cfg.family)
+    if fn is None:
+        raise ValueError(f"unknown family {cfg.family!r}")
+    return fn(cfg, mesh=mesh)
+
+
+def _flatten_cfg(cfg: ExperimentConfig) -> dict:
+    flat = {}
+
+    def rec(prefix, d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                rec(f"{prefix}{k}.", v)
+            else:
+                flat[f"{prefix}{k}"] = str(v)
+
+    rec("", cfg.to_dict())
+    return flat

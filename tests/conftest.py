@@ -9,8 +9,11 @@ Must set the env vars before jax initializes its backends.
 
 import os
 
-# Force CPU: the session env may point JAX at a (slow, single-chip) TPU
-# tunnel; tests must run on the 8-device virtual CPU topology regardless.
+# Force CPU: the session env points JAX at a (slow, single-chip) TPU tunnel
+# via an 'axon' plugin that IGNORES the JAX_PLATFORMS env var (and racily
+# falls back to CPU only when the tunnel is busy). The authoritative switch
+# is jax.config.update("jax_platforms", ...) after import; XLA_FLAGS must
+# still be set before the backend initializes for the 8 virtual devices.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -20,4 +23,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.device_count()
