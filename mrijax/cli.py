@@ -1,0 +1,321 @@
+"""Command-line entry points: train / sample / preprocess / split / info.
+
+Replaces the reference's SLURM-wrapped ``python -m model_scripts.<exp>...``
+entry points and utility CLIs (`preprocess_data.py`, `split_train_val_test.py`,
+show_model/generate scripts) with one ``python -m mrijax.cli <cmd>``:
+
+  train       --preset slice_cond_2d|ddpm_25d|ddpm_3d_ldm --root-dir ...
+              [--config cfg.json] [--set train.epochs=3 ...]
+  sample      --run-dir checkpoints/<family>/<name> [--mode grid|sweep|
+              pseudo3d-real|pseudo3d-hybrid|volume3d] [--ddim-steps N]
+  preprocess  --root-dir ... --output-dir ... [--image-size 128]
+  split       --src ... --out-root ... [--mode symlink|copy|move] [--dry-run]
+  info        --run-dir ...   (print config + checkpoint inventory)
+
+Every training run writes ``config.json`` next to its checkpoints so
+``sample``/``info`` rebuild exactly the trained model — fixing the
+reference's re-typed-config drift hazard (`ddpm_3d_ldm/show_model.py:391-408`).
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _parse_set(values):
+    out = {}
+    for item in values or []:
+        k, _, v = item.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects key=value, got {item!r}")
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass  # keep string
+        out[k] = v
+    return out
+
+
+def cmd_train(args):
+    from mrijax.config import PRESETS, ExperimentConfig, _apply_overrides
+    from mrijax.train.experiments import run_experiment
+
+    if args.config:
+        cfg = ExperimentConfig.from_json(args.config)
+    else:
+        if args.preset not in PRESETS:
+            raise SystemExit(f"unknown preset {args.preset!r}; options: {list(PRESETS)}")
+        cfg = PRESETS[args.preset](args.root_dir or "")
+    if args.root_dir:
+        cfg.data.root_dir = args.root_dir
+    if args.name:
+        cfg.name = args.name
+    _apply_overrides(cfg, _parse_set(args.set))
+
+    run_dir = Path(cfg.train.checkpoint_dir) / cfg.family / cfg.name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    cfg.to_json(run_dir / "config.json")
+    print(f"[cli] training {cfg.family}/{cfg.name} -> {run_dir}")
+    result = run_experiment(cfg)
+    if isinstance(result, tuple):  # 3D two-stage: (vae, ldm, scale)
+        vae_res, ldm_res, scale = result
+        print(
+            f"[cli] done: vae best_val={vae_res.best_val_loss:.5f} "
+            f"({vae_res.epochs_run} epochs), ldm best_val="
+            f"{ldm_res.best_val_loss:.5f} ({ldm_res.epochs_run} epochs), "
+            f"latent_scale={scale:.4f}"
+        )
+    else:
+        print(
+            f"[cli] done: best_val={result.best_val_loss:.5f} "
+            f"epochs={result.epochs_run} early_stop={result.stopped_early} "
+            f"preempted={result.preempted}"
+        )
+    return 0
+
+
+def _load_run(run_dir):
+    """(cfg, best params per stage) from a training run directory."""
+    from mrijax.config import ExperimentConfig
+
+    run_dir = Path(run_dir)
+    cfg = ExperimentConfig.from_json(run_dir / "config.json")
+    return cfg, run_dir
+
+
+def _restore_params(run_dir, state_like):
+    import jax
+
+    from mrijax.io import CheckpointManager
+
+    mgr = CheckpointManager(run_dir)
+    try:
+        state, extra = mgr.restore(state_like, best=True)
+    except (FileNotFoundError, ValueError):
+        state, extra = mgr.restore(state_like)
+    mgr.close()
+    # templates are built on host CPU; move weights to the compute device
+    state = jax.device_put(state, jax.devices()[0])
+    return state, extra or {}
+
+
+def cmd_sample(args):
+    import jax
+    import jax.numpy as jnp
+
+    from mrijax import generate
+    from mrijax.io import save_grid_png, volume_midslice_panel, save_png
+    from mrijax.data import nifti
+    from mrijax.train.experiments import (
+        build_diffusion, build_unet2d, build_unet3d, build_vae3d,
+    )
+    from mrijax.train.state import create_train_state
+
+    cfg, run_dir = _load_run(args.run_dir)
+    out_dir = Path(args.out_dir or run_dir / "samples")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    diffusion = build_diffusion(cfg.diffusion)
+    key = jax.random.PRNGKey(args.seed)
+    s = cfg.data.image_size
+
+    if cfg.family in ("slice_cond_2d", "ddpm_25d"):
+        model = build_unet2d(cfg.unet)
+        x_ch = cfg.unet.out_channels  # denoised channels
+        ctx_ch = cfg.unet.in_channels - x_ch
+        with jax.default_device(jax.devices("cpu")[0]):
+            zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if ctx_ch else ()
+            template = create_train_state(
+                model.init(
+                    key, jnp.zeros((1, s, s, x_ch)),
+                    jnp.zeros((1,), jnp.int32), jnp.zeros((1,)), *zeros_ctx,
+                ),
+                cfg.train.learning_rate,
+            )
+        state, _ = _restore_params(run_dir, template)
+        params = state.params
+
+        if args.mode == "grid":
+            imgs = generate.sample_2d(
+                model, params, diffusion, num_samples=args.num_samples,
+                image_size=s, z_pos=args.z_pos, key=key,
+                ddim_steps=args.ddim_steps, channels=cfg.unet.out_channels,
+            )
+            save_grid_png(out_dir / "grid.png", np.asarray(imgs)[..., :1])
+            print(f"[cli] wrote {out_dir/'grid.png'}")
+        elif args.mode == "sweep":
+            vol = generate.sample_pseudo3d_sweep(
+                model, params, diffusion, num_slices=args.num_slices,
+                image_size=s, key=key, ddim_steps=args.ddim_steps,
+                channels=cfg.unet.out_channels,
+            )
+            save_grid_png(out_dir / "sweep.png", np.asarray(vol)[..., :1], nrow=16)
+            nifti.save(out_dir / "sweep.nii.gz", np.asarray(vol)[..., 0])
+            print(f"[cli] wrote {out_dir/'sweep.png'} and .nii.gz")
+        elif args.mode in ("pseudo3d-real", "pseudo3d-hybrid"):
+            from mrijax.data import MultiModalSliceDataset25D
+
+            ds = MultiModalSliceDataset25D(
+                cfg.data.root_dir, s, cfg.data.slice_radius
+            )
+            fn = (generate.generate_pseudo3d_real_context
+                  if args.mode == "pseudo3d-real"
+                  else generate.generate_pseudo3d_hybrid)
+            vol = fn(model, params, diffusion, ds, args.subject, key=key,
+                     ddim_steps=args.ddim_steps)
+            vol = np.asarray(vol)
+            for c in range(vol.shape[-1]):
+                save_grid_png(out_dir / f"{args.mode}_mod{c}.png", vol[..., c], nrow=16)
+            nifti.save(out_dir / f"{args.mode}.nii.gz", vol)
+            print(f"[cli] wrote {out_dir}/{args.mode}_mod*.png and .nii.gz")
+        else:
+            raise SystemExit(f"mode {args.mode!r} invalid for {cfg.family}")
+    elif cfg.family == "ddpm_3d_ldm":
+        vae = build_vae3d(cfg.vae)
+        unet = build_unet3d(cfg.unet)
+        unet_init = build_unet3d(cfg.unet, use_flash=False)
+        with jax.default_device(jax.devices("cpu")[0]):
+            vae_template = create_train_state(
+                vae.init(key, jnp.zeros((1, 16, 16, 16, cfg.vae.in_channels)),
+                         jax.random.PRNGKey(1)),
+                cfg.vae_train.learning_rate,
+            )
+            unet_template = create_train_state(
+                unet_init.init(key, jnp.zeros((1, 8, 8, 8, cfg.vae.latent_channels)),
+                               jnp.zeros((1,), jnp.int32)),
+                cfg.train.learning_rate,
+            )
+        vae_state, _ = _restore_params(run_dir / "vae", vae_template)
+        ldm_state, extra = _restore_params(run_dir / "ldm", unet_template)
+        latent_scale = float(extra.get("latent_scale", 1.0))
+
+        latent_shape = generate.latent_shape_for(
+            vae, vae_state.params, (*cfg.data.patch_size, cfg.vae.in_channels)
+        )
+        vols = generate.generate_3d_volumes(
+            unet, ldm_state.params, vae, vae_state.params, diffusion,
+            num_volumes=args.num_samples,
+            latent_spatial=latent_shape[:-1], latent_channels=latent_shape[-1],
+            latent_scale=latent_scale, key=key, ddim_steps=args.ddim_steps,
+        )
+        vols = np.asarray(vols)
+        for i, v in enumerate(vols):
+            save_png(out_dir / f"volume{i}_midslices.png", volume_midslice_panel(v))
+            nifti.save(out_dir / f"volume{i}.nii.gz", v)
+        print(f"[cli] wrote {len(vols)} volumes to {out_dir}")
+    else:
+        raise SystemExit(f"unknown family {cfg.family!r}")
+    return 0
+
+
+def cmd_preprocess(args):
+    from mrijax.data import pack_dataset
+
+    index = pack_dataset(
+        args.root_dir, args.output_dir,
+        image_size=args.image_size, modality_suffix=args.modality_suffix,
+    )
+    print(f"[cli] packed {len(index['files'])} volumes -> {args.output_dir}")
+    return 0
+
+
+def cmd_split(args):
+    from mrijax.data import apply_split
+
+    splits = apply_split(
+        args.src, args.out_root,
+        train_frac=args.train_frac, val_frac=args.val_frac,
+        test_frac=args.test_frac, seed=args.seed, mode=args.mode,
+        dry_run=args.dry_run,
+    )
+    print({k: len(v) for k, v in splits.items()})
+    return 0
+
+
+def cmd_info(args):
+    from mrijax.io import CheckpointManager
+
+    cfg, run_dir = _load_run(args.run_dir)
+    print(cfg.to_json())
+    for sub in ("", "vae", "ldm"):
+        d = run_dir / sub if sub else run_dir
+        if not (d / "best.json").exists() and not any(d.glob("[0-9]*")):
+            continue
+        mgr = CheckpointManager(d)
+        print(f"{d}: latest={mgr.latest_step} best={mgr.best_step}")
+        mgr.close()
+    return 0
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="mrijax", description=__doc__)
+    p.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force the JAX backend (authoritative, unlike JAX_PLATFORMS "
+             "which some PJRT plugins ignore)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a model family")
+    t.add_argument("--preset", default="slice_cond_2d")
+    t.add_argument("--config", default=None, help="config JSON (overrides preset)")
+    t.add_argument("--root-dir", default=None)
+    t.add_argument("--name", default=None)
+    t.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
+                   help="dotted config overrides, e.g. train.epochs=3")
+    t.set_defaults(fn=cmd_train)
+
+    s = sub.add_parser("sample", help="generate from a trained run")
+    s.add_argument("--run-dir", required=True)
+    s.add_argument("--mode", default="grid",
+                   choices=["grid", "sweep", "pseudo3d-real", "pseudo3d-hybrid",
+                            "volume3d"])
+    s.add_argument("--num-samples", type=int, default=16)
+    s.add_argument("--num-slices", type=int, default=155)
+    s.add_argument("--z-pos", type=float, default=0.5)
+    s.add_argument("--subject", type=int, default=0)
+    s.add_argument("--ddim-steps", type=int, default=None)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--out-dir", default=None)
+    s.set_defaults(fn=cmd_sample)
+
+    pp = sub.add_parser("preprocess", help="pack slices into npz shards")
+    pp.add_argument("--root-dir", required=True)
+    pp.add_argument("--output-dir", required=True)
+    pp.add_argument("--image-size", type=int, default=128)
+    pp.add_argument("--modality-suffix", default="_flair.nii.gz")
+    pp.set_defaults(fn=cmd_preprocess)
+
+    sp = sub.add_parser("split", help="subject-level train/val/test split")
+    sp.add_argument("--src", required=True)
+    sp.add_argument("--out-root", required=True)
+    sp.add_argument("--train-frac", type=float, default=0.8)
+    sp.add_argument("--val-frac", type=float, default=0.1)
+    sp.add_argument("--test-frac", type=float, default=0.1)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--mode", default="symlink", choices=["symlink", "copy", "move"])
+    sp.add_argument("--dry-run", action="store_true")
+    sp.set_defaults(fn=cmd_split)
+
+    i = sub.add_parser("info", help="show run config + checkpoints")
+    i.add_argument("--run-dir", required=True)
+    i.set_defaults(fn=cmd_info)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,88 @@
+"""CLI tests: train → info → sample round-trips on synthetic data."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mrijax.cli import main
+from mrijax.data.synthetic import write_synthetic_brats
+from mrijax.obs import reset_termination
+
+
+@pytest.fixture(scope="module")
+def brats_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("brats_cli")
+    return write_synthetic_brats(root, num_subjects=3, shape=(40, 40, 24), seed=5)
+
+
+TINY_2D = [
+    "--set",
+    "data.image_size=16", "data.batch_size=8", "data.subsample_fraction=null",
+    "unet.base_channels=8", "unet.channel_mults=[1,2]", "unet.time_emb_dim=16",
+    "unet.compute_dtype=\"float32\"",
+    "diffusion.timesteps=20",
+    "train.epochs=1", "train.debug_fast=true", "train.debug_max_steps=2",
+]
+
+
+def test_cli_train_info_sample_2d(brats_root, tmp_path, capsys):
+    reset_termination()
+    ckpt = str(tmp_path / "ck")
+    rc = main([
+        "train", "--preset", "slice_cond_2d", "--root-dir", str(brats_root),
+        "--name", "c2d",
+    ] + TINY_2D + [f"train.checkpoint_dir={json.dumps(ckpt)}"])
+    assert rc == 0
+    run_dir = Path(ckpt) / "slice_cond_2d" / "c2d"
+    assert (run_dir / "config.json").exists()
+
+    rc = main(["info", "--run-dir", str(run_dir)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "slice_cond_2d" in out and "latest=" in out
+
+    rc = main([
+        "sample", "--run-dir", str(run_dir), "--mode", "grid",
+        "--num-samples", "4", "--ddim-steps", "5",
+        "--out-dir", str(tmp_path / "samples"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "samples" / "grid.png").exists()
+
+    rc = main([
+        "sample", "--run-dir", str(run_dir), "--mode", "sweep",
+        "--num-slices", "8", "--ddim-steps", "5",
+        "--out-dir", str(tmp_path / "sweep"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "sweep" / "sweep.nii.gz").exists()
+
+
+def test_cli_preprocess_and_split(brats_root, tmp_path, capsys):
+    rc = main([
+        "preprocess", "--root-dir", str(brats_root),
+        "--output-dir", str(tmp_path / "packed"), "--image-size", "16",
+    ])
+    assert rc == 0
+    assert (tmp_path / "packed" / "index.json").exists()
+
+    src = tmp_path / "subjects"
+    for i in range(6):
+        (src / f"s{i}").mkdir(parents=True)
+    rc = main([
+        "split", "--src", str(src), "--out-root", str(tmp_path / "splits"),
+        "--mode", "symlink",
+    ])
+    assert rc == 0
+    assert (tmp_path / "splits" / "splits" / "train.txt").exists()
+
+
+def test_cli_bad_inputs(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["train", "--preset", "nope", "--root-dir", "/x"])
+    with pytest.raises(SystemExit):
+        main(["train", "--preset", "slice_cond_2d", "--set", "badformat"])
+    with pytest.raises(FileNotFoundError):
+        main(["info", "--run-dir", str(tmp_path / "missing")])
