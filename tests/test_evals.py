@@ -1,0 +1,232 @@
+"""Eval-suite tests: FID/KID sanity + golden values, SSIM vs known cases,
+PR behavior, memorization, Dice/HD95 hand-computed parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mrijax.evals import (
+    FeatureExtractor,
+    FidAccumulator,
+    dice_coefficient,
+    dice_per_label,
+    evaluate_conditional_2d,
+    fid_from_features,
+    frechet_distance,
+    hd95,
+    improved_precision_recall,
+    kid_from_features,
+    max_cosine_similarity,
+    memorization_stats,
+    ms_ssim,
+    ssim,
+)
+
+
+# --------------------------------------------------------------- Fréchet
+
+def test_frechet_identical_is_zero():
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(500, 16))
+    assert fid_from_features(f, f) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_frechet_gaussian_closed_form():
+    """For N(0,I) vs N(m,I): FID = ||m||² exactly."""
+    rng = np.random.default_rng(1)
+    d = 8
+    mu = np.zeros(d)
+    cov = np.eye(d)
+    m2 = np.full(d, 0.5)
+    fid = frechet_distance(mu, cov, m2, cov)
+    assert fid == pytest.approx(np.sum(m2**2), rel=1e-6)
+
+
+def test_fid_accumulator_matches_direct():
+    rng = np.random.default_rng(2)
+    f = rng.normal(size=(300, 12))
+    acc = FidAccumulator(12)
+    for i in range(0, 300, 64):
+        acc.update(f[i : i + 64])
+    mu, cov = acc.stats()
+    np.testing.assert_allclose(mu, f.mean(axis=0), atol=1e-10)
+    np.testing.assert_allclose(cov, np.cov(f, rowvar=False), atol=1e-10)
+
+
+def test_fid_orders_similarity():
+    rng = np.random.default_rng(3)
+    real = rng.normal(size=(400, 16))
+    close = real + rng.normal(scale=0.1, size=real.shape)
+    far = rng.normal(loc=3.0, size=(400, 16))
+    assert fid_from_features(real, close) < fid_from_features(real, far)
+
+
+def test_kid_identical_near_zero_and_orders():
+    rng = np.random.default_rng(4)
+    real = rng.normal(size=(300, 16))
+    m, s = kid_from_features(real, real, subset_size=100, num_subsets=20)
+    assert abs(m) < 0.1
+    far_m, _ = kid_from_features(
+        real, rng.normal(loc=2.0, size=(300, 16)), subset_size=100, num_subsets=20
+    )
+    assert far_m > m + 0.1
+
+
+# ------------------------------------------------------------------ SSIM
+
+def test_ssim_identical_is_one():
+    rng = np.random.default_rng(5)
+    a = rng.uniform(-1, 1, size=(2, 32, 32, 1)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(ssim(a, a)), 1.0, atol=1e-5)
+
+
+def test_ssim_decreases_with_noise():
+    rng = np.random.default_rng(6)
+    a = rng.uniform(-1, 1, size=(2, 32, 32, 1)).astype(np.float32)
+    small = a + rng.normal(scale=0.05, size=a.shape).astype(np.float32)
+    big = a + rng.normal(scale=0.5, size=a.shape).astype(np.float32)
+    s_small = np.asarray(ssim(a, small))
+    s_big = np.asarray(ssim(a, big))
+    assert np.all(s_small > s_big)
+    assert np.all(s_small < 1.0)
+
+
+def test_ssim_matches_torch_formula():
+    torch = pytest.importorskip("torch")
+    # independent recomputation with torch conv2d of the same gaussian window
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0, 1, size=(1, 40, 40, 1)).astype(np.float32)
+    b = (a + rng.normal(scale=0.1, size=a.shape)).astype(np.float32)
+
+    x = np.arange(11) - 5.0
+    g = np.exp(-(x**2) / (2 * 1.5**2))
+    g /= g.sum()
+    win = torch.tensor(np.outer(g, g), dtype=torch.float32)[None, None]
+
+    ta = torch.tensor(a.transpose(0, 3, 1, 2))
+    tb = torch.tensor(b.transpose(0, 3, 1, 2))
+    mu_a = F.conv2d(ta, win)
+    mu_b = F.conv2d(tb, win)
+    var_a = F.conv2d(ta * ta, win) - mu_a**2
+    var_b = F.conv2d(tb * tb, win) - mu_b**2
+    cov = F.conv2d(ta * tb, win) - mu_a * mu_b
+    L = 1.0
+    c1, c2 = (0.01 * L) ** 2, (0.03 * L) ** 2
+    ref = (
+        ((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+        / ((mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2))
+    ).mean().item()
+    ours = float(ssim(a, b, data_range=1.0)[0])
+    assert ours == pytest.approx(ref, abs=1e-5)
+
+
+def test_ms_ssim_runs_and_bounds():
+    rng = np.random.default_rng(8)
+    a = rng.uniform(-1, 1, size=(2, 176, 176, 1)).astype(np.float32)
+    b = (a + rng.normal(scale=0.1, size=a.shape)).astype(np.float32)
+    v = np.asarray(ms_ssim(a, b))
+    assert v.shape == (2,)
+    assert np.all((v > 0) & (v <= 1.0))
+    np.testing.assert_allclose(np.asarray(ms_ssim(a, a)), 1.0, atol=1e-5)
+
+
+# ------------------------------------------------------------------- PR
+
+def test_precision_recall_same_distribution():
+    rng = np.random.default_rng(9)
+    real = rng.normal(size=(200, 8))
+    fake = rng.normal(size=(200, 8))
+    p, r = improved_precision_recall(real, fake)
+    assert p > 0.8 and r > 0.8
+
+
+def test_precision_recall_disjoint():
+    rng = np.random.default_rng(10)
+    real = rng.normal(size=(200, 8))
+    fake = rng.normal(loc=50.0, size=(200, 8))
+    p, r = improved_precision_recall(real, fake)
+    assert p == 0.0 and r == 0.0
+
+
+# ---------------------------------------------------------- memorization
+
+def test_memorization_detects_copies():
+    rng = np.random.default_rng(11)
+    real = rng.normal(size=(50, 16, 16))
+    fakes = rng.normal(size=(10, 16, 16))
+    fakes[0] = real[7]  # exact copy
+    sims = max_cosine_similarity(fakes, real)
+    assert sims[0] == pytest.approx(1.0, abs=1e-9)
+    assert sims[1:].max() < 0.99
+    stats = memorization_stats(fakes, real)
+    assert stats["max"] == pytest.approx(1.0, abs=1e-9)
+
+
+# ------------------------------------------------------------ Dice/HD95
+
+def test_dice_hand_computed():
+    a = np.zeros((4, 4), int)
+    b = np.zeros((4, 4), int)
+    a[:2, :2] = 1  # 4 voxels
+    b[:2, :3] = 1  # 6 voxels, overlap 4
+    assert dice_coefficient(a == 1, b == 1) == pytest.approx(2 * 4 / (4 + 6))
+    assert dice_coefficient(np.zeros(4, bool), np.zeros(4, bool)) == 1.0
+    labels = dice_per_label(a, b, labels=(1, 2))
+    assert labels[1] == pytest.approx(0.8)
+    assert labels[2] == 1.0  # both empty
+
+
+def test_hd95_known_offset():
+    a = np.zeros((20, 20), bool)
+    b = np.zeros((20, 20), bool)
+    a[5:10, 5:10] = True
+    b[5:10, 8:13] = True  # shifted 3 in x
+    v = hd95(a, b)
+    assert 1.0 <= v <= 3.5
+    assert hd95(a, a) == 0.0
+    assert hd95(a, np.zeros_like(b)) == float("inf")
+    assert hd95(np.zeros_like(a), np.zeros_like(b)) == 0.0
+
+
+# --------------------------------------------------------------- harness
+
+def test_harness_end_to_end(tmp_path):
+    """A 'sampler' that returns real-like data scores much better than one
+    returning noise, and the report has the protocol's keys."""
+    rng = np.random.default_rng(12)
+    fe = FeatureExtractor(image_size=64, widths=(8, 16))
+
+    def real_batches(n_batches=4, b=16):
+        for i in range(n_batches):
+            img = rng.uniform(-1, 0.0, size=(b, 16, 16, 1)).astype(np.float32)
+            z = rng.uniform(size=(b,)).astype(np.float32)
+            yield {"image": img, "z_pos": z}
+
+    def good_sampler(z, key):
+        return jnp.asarray(
+            rng.uniform(-1, 0.0, size=(z.shape[0], 16, 16, 1)).astype(np.float32)
+        )
+
+    def bad_sampler(z, key):
+        return jnp.asarray(
+            rng.uniform(0.5, 1.0, size=(z.shape[0], 16, 16, 1)).astype(np.float32)
+        )
+
+    rep_good = evaluate_conditional_2d(
+        good_sampler, real_batches(), feature_extractor=fe, num_samples=64,
+        num_diversity_pairs=8, compute_pr=True,
+        out_path=tmp_path / "metrics.json",
+    )
+    rep_bad = evaluate_conditional_2d(
+        bad_sampler, real_batches(), feature_extractor=fe, num_samples=64,
+        num_diversity_pairs=0,
+    )
+    assert rep_good["fid_rand"] < rep_bad["fid_rand"]
+    assert (tmp_path / "metrics.json").exists()
+    for k in ("fid_rand", "kid_rand_mean", "fid_rand_per_z_bin",
+              "diversity_ssim_mean", "improved_precision", "memorization"):
+        assert k in rep_good
