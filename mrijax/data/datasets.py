@@ -88,6 +88,16 @@ def preprocess_slice_np(sl: np.ndarray, image_size: int) -> np.ndarray:
     return _resize_bilinear_np(z, (image_size, image_size))
 
 
+def load_volume(path) -> np.ndarray:
+    """Decode a NIfTI volume via the native C++ runtime when built
+    (``mrijax.data.cnifti``, bit-identical output), else pure numpy."""
+    from mrijax.data import cnifti
+
+    if cnifti.available():
+        return cnifti.load(path)
+    return nifti.load(path)
+
+
 class _VolumeLRU:
     """LRU cache of decoded volumes (reference caches 4,
     `slice_cond_2d_ddpm/dataset.py:43-62`)."""
@@ -101,7 +111,7 @@ class _VolumeLRU:
         if key in self._cache:
             self._cache.move_to_end(key)
             return self._cache[key]
-        vol = nifti.load(key)
+        vol = load_volume(key)
         self._cache[key] = vol
         if len(self._cache) > self.capacity:
             self._cache.popitem(last=False)
@@ -260,7 +270,7 @@ class VolumeDataset3D:
     def __getitem__(self, idx: int):
         chans = []
         for p in self.cases[idx]:
-            vol = nifti.load(p)
+            vol = load_volume(p)
             if vol.ndim == 4:
                 vol = vol[..., 0]
             vol = np.transpose(vol, (2, 0, 1))  # (H, W, D) → (D, H, W)

@@ -193,3 +193,22 @@ def test_volume_split_indices_no_overlap():
     train, val, test = volume_split_indices(50, seed=42)
     assert len(set(train) | set(val) | set(test)) == 50
     assert not (set(train) & set(val)) and not (set(val) & set(test))
+
+
+def test_cnifti_native_parity(brats_root):
+    """Native C++ decoder is bit-identical to the numpy reader (skipped when
+    the shared library isn't built: `make -C csrc`)."""
+    from mrijax.data import cnifti
+
+    if not cnifti.available():
+        pytest.skip("libmrijax_io.so not built")
+    paths = sorted(brats_root.rglob("*.nii.gz"))[:4]
+    for p in paths:
+        np.testing.assert_array_equal(cnifti.load(p), nifti.load(p))
+    shape, hdr = cnifti.probe(paths[0])
+    assert shape == nifti.load_header(paths[0]).shape
+    batch = cnifti.load_batch(paths, num_threads=2)
+    for b, p in zip(batch, paths):
+        np.testing.assert_array_equal(b, nifti.load(p))
+    with pytest.raises(IOError):
+        cnifti.load(str(paths[0]) + ".missing")
