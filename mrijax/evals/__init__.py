@@ -24,6 +24,7 @@ from mrijax.evals.segmentation import (
     BRATS_LABELS,
 )
 from mrijax.evals.harness import evaluate_conditional_2d
+from mrijax.evals.multi import evaluate_runs
 
 __all__ = [
     "FeatureExtractor",
@@ -43,4 +44,5 @@ __all__ = [
     "hd95_per_label",
     "BRATS_LABELS",
     "evaluate_conditional_2d",
+    "evaluate_runs",
 ]

@@ -1,0 +1,128 @@
+"""Multi-model evaluation harness (the `metrics_both.py` equivalent).
+
+The reference evaluates a config list of heterogeneous checkpoints
+(`slice_cond_2d_ddpm/metrics_both.py:244-687`): per-model protocol dispatch,
+breadcrumb files so long cluster jobs are observable
+(``*_RUNNING.txt`` / ``*_progress.txt``), per-model JSON and a final
+``summary.json``. Here each entry names a mrijax run directory (with its
+embedded config.json — no re-typed configs) plus protocol options; family
+dispatch is automatic.
+"""
+
+import json
+import time
+import traceback
+from pathlib import Path
+from typing import List, Optional
+
+from mrijax.evals.features import FeatureExtractor
+
+
+def evaluate_runs(
+    run_configs: List[dict],
+    out_dir,
+    *,
+    feature_extractor: Optional[FeatureExtractor] = None,
+    progress: bool = True,
+) -> dict:
+    """run_configs: [{"run_dir": ..., "num_samples": 500, "ddim_steps": 50,
+    "split": "test", "compute_pr": false, "name": optional}, ...].
+
+    Writes ``<out_dir>/<name>.metrics.json`` per model + ``summary.json``;
+    returns the summary dict. A model failure is recorded, not fatal
+    (the reference's long-job resilience pattern).
+    """
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fe = feature_extractor or FeatureExtractor()
+    summary = {}
+    for i, rc in enumerate(run_configs):
+        run_dir = Path(rc["run_dir"])
+        name = rc.get("name") or run_dir.name
+        crumb = out_dir / f"{name}_RUNNING.txt"
+        crumb.write_text(f"started {time.ctime()}\n")
+        try:
+            report = _evaluate_one(rc, fe, out_dir / f"{name}.metrics.json")
+            summary[name] = {
+                k: report.get(k)
+                for k in ("fid_rand", "kid_rand_mean", "diversity_ssim_mean",
+                          "improved_precision", "improved_recall", "num_samples")
+            }
+        except Exception as e:  # noqa: BLE001 — keep evaluating other models
+            summary[name] = {"error": f"{type(e).__name__}: {e}"}
+            (out_dir / f"{name}_ERROR.txt").write_text(traceback.format_exc())
+        finally:
+            crumb.unlink(missing_ok=True)
+        if progress:
+            print(f"[evals.multi] {i + 1}/{len(run_configs)}: {name} -> "
+                  f"{summary[name]}")
+    (out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
+    return summary
+
+
+def _evaluate_one(rc: dict, fe: FeatureExtractor, out_path: Path) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from mrijax.config import ExperimentConfig
+    from mrijax.data import BatchLoader, SliceDataset2D, volume_split_indices
+    from mrijax.evals.harness import evaluate_conditional_2d
+    from mrijax.train.experiments import build_diffusion, build_unet2d
+    from mrijax.train.state import create_train_state
+    from mrijax.cli import _restore_params
+
+    run_dir = Path(rc["run_dir"])
+    cfg = ExperimentConfig.from_json(run_dir / "config.json")
+    if cfg.family not in ("slice_cond_2d",):
+        raise NotImplementedError(
+            f"multi-eval currently handles slice_cond_2d; got {cfg.family}"
+        )
+    s = cfg.data.image_size
+    model = build_unet2d(cfg.unet)
+    diffusion = build_diffusion(cfg.diffusion)
+    with jax.default_device(jax.devices("cpu")[0]):
+        template = create_train_state(
+            model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, s, s, cfg.unet.in_channels)),
+                       jnp.zeros((1,), jnp.int32), jnp.zeros((1,))),
+            cfg.train.learning_rate,
+        )
+    state, _ = _restore_params(run_dir, template)
+    params = state.params
+
+    ds = SliceDataset2D(cfg.data.root_dir, s, cfg.data.modality_suffix)
+    split = rc.get("split", "test")
+    train_v, val_v, test_v = volume_split_indices(len(ds.volume_paths), seed=42)
+    vols = {"train": train_v, "val": val_v, "test": test_v,
+            "all": list(range(len(ds.volume_paths)))}[split]
+    paths = {ds.volume_paths[i] for i in vols}
+    keep = [i for i, (p, _) in enumerate(ds.slice_tuples) if p in paths]
+
+    class _View:
+        def __len__(self):
+            return len(keep)
+
+        def __getitem__(self, i):
+            return ds[keep[i]]
+
+    loader = BatchLoader(_View(), rc.get("batch_size", 32), shuffle=False,
+                         drop_last=True, prefetch=0)
+    ddim_steps = rc.get("ddim_steps")
+
+    def sample_fn(z, k):
+        def model_fn(x, t):
+            return model.apply(params, x, t, z)
+
+        shape = (z.shape[0], s, s, cfg.unet.out_channels)
+        if ddim_steps:
+            return diffusion.ddim_sample(model_fn, shape, k, num_steps=ddim_steps)
+        return diffusion.p_sample_loop(model_fn, shape, k)
+
+    return evaluate_conditional_2d(
+        sample_fn, iter(loader), feature_extractor=fe,
+        num_samples=rc.get("num_samples", 1000),
+        num_diversity_pairs=rc.get("diversity_pairs", 64),
+        compute_pr=rc.get("compute_pr", False),
+        seed=rc.get("seed", 0),
+        out_path=out_path,
+    )

@@ -4,6 +4,7 @@ from mrijax.obs.logger import MetricsLogger
 from mrijax.obs.signals import install_signal_handlers, should_terminate, reset_termination
 from mrijax.obs.timing import StepTimer, device_memory_stats
 from mrijax.obs.energy import EnergyMonitor, NullEnergySensor, run_with_energy
+from mrijax.obs.analyze import analyze_run, format_report
 
 __all__ = [
     "MetricsLogger",
@@ -15,4 +16,6 @@ __all__ = [
     "EnergyMonitor",
     "NullEnergySensor",
     "run_with_energy",
+    "analyze_run",
+    "format_report",
 ]
