@@ -174,15 +174,22 @@ class GaussianDiffusion:
     ) -> jnp.ndarray:
         """Descending timestep sequence for DDIM. With ``num_steps=None`` it
         reproduces the reference stride-1 schedule [start_t..1]; otherwise an
-        evenly spaced subset of ``num_steps`` steps ending at t=0's neighbor."""
+        evenly spaced subset of ``num_steps`` steps ending at t=0's neighbor.
+
+        Computed host-side in numpy: the sequence is static given the Python
+        int arguments, so it stays a compile-time constant even when
+        ``ddim_sample`` is called inside a jitted function (``jnp.unique``
+        would be a data-dependent-shape error under trace)."""
+        import numpy as np
+
         start = self.timesteps - 1 if start_t is None else int(start_t)
         if num_steps is None or num_steps >= start:
-            seq = jnp.arange(start, 0, -1, dtype=jnp.int32)
+            seq = np.arange(start, 0, -1, dtype=np.int32)
         else:
-            seq = jnp.unique(
-                jnp.linspace(start, 1, num_steps).round().astype(jnp.int32)
+            seq = np.unique(
+                np.linspace(start, 1, num_steps).round().astype(np.int32)
             )[::-1]
-        return seq
+        return jnp.asarray(seq.copy())
 
     def ddim_sample(
         self,

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from mrijax.ops.embeddings import sinusoidal_time_embedding
-from mrijax.ops.norms import group_norm
+from mrijax.ops.norms import group_norm, group_norm_silu_auto
 from mrijax.ops.attention import multi_head_self_attention
 
 Dtype = Any
@@ -44,6 +44,22 @@ class GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         return group_norm(x, self.groups, scale, bias, self.eps)
+
+
+class GroupNormSiLU(nn.Module):
+    """Fused GroupNorm→SiLU (the norm→act pair in every res block / head).
+    Dispatches to the Pallas 2-read/1-write kernel on TPU
+    (`mrijax.kernels.groupnorm_pallas`), XLA elsewhere."""
+
+    groups: int = 8
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_silu_auto(x, self.groups, scale, bias, self.eps)
 
 
 class TimeEmbedding(nn.Module):
@@ -91,13 +107,11 @@ class ResBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond_emb: jnp.ndarray) -> jnp.ndarray:
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype)(x)
-        h = GroupNorm(self.groups)(h)
-        h = jax.nn.silu(h)
+        h = GroupNormSiLU(self.groups)(h)
         c = jax.nn.silu(nn.Dense(self.out_ch, dtype=self.dtype)(cond_emb))
         h = h + _broadcast_cond(c, h.ndim)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype)(h)
-        h = GroupNorm(self.groups)(h)
-        h = jax.nn.silu(h)
+        h = GroupNormSiLU(self.groups)(h)
         if x.shape[-1] != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype)(x)
         return h + x
@@ -115,14 +129,12 @@ class ResBlock3D(nn.Module):
     def __call__(
         self, x: jnp.ndarray, cond_emb: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
-        h = GroupNorm(self.groups)(x)
-        h = jax.nn.silu(h)
+        h = GroupNormSiLU(self.groups)(x)
         h = nn.Conv(self.out_ch, (3, 3, 3), padding=1, dtype=self.dtype)(h)
         if cond_emb is not None:
             c = nn.Dense(self.out_ch, dtype=self.dtype)(cond_emb)
             h = h + _broadcast_cond(c, h.ndim)
-        h = GroupNorm(self.groups)(h)
-        h = jax.nn.silu(h)
+        h = GroupNormSiLU(self.groups)(h)
         h = nn.Conv(self.out_ch, (3, 3, 3), padding=1, dtype=self.dtype)(h)
         if x.shape[-1] != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1, 1), dtype=self.dtype)(x)

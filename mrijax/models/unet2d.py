@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from mrijax.models.blocks import (
-    GroupNorm,
+    GroupNormSiLU,
     ResBlock2D,
     Downsample,
     Upsample,
@@ -94,7 +94,6 @@ class UNet2D(nn.Module):
             h = ResBlock2D(out_ch, self.groups, dtype=self.dtype)(h, cond)
             h = ResBlock2D(out_ch, self.groups, dtype=self.dtype)(h, cond)
 
-        h = GroupNorm(self.groups)(h)
-        h = jax.nn.silu(h)
+        h = GroupNormSiLU(self.groups)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(h)
         return h.astype(jnp.float32)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from mrijax.models.blocks import (
     AttentionBlock3D,
     Downsample,
-    GroupNorm,
+    GroupNormSiLU,
     ResBlock3D,
     TimeEmbedding,
     Upsample,
@@ -86,7 +86,6 @@ class UNet3D(nn.Module):
             h = ResBlock3D(ch, self.groups, dtype=self.dtype)(h, t_emb)
             h = ResBlock3D(ch, self.groups, dtype=self.dtype)(h, t_emb)
 
-        h = GroupNorm(self.groups)(h)
-        h = jax.nn.silu(h)
+        h = GroupNormSiLU(self.groups)(h)
         h = nn.Conv(self.in_channels, (3, 3, 3), padding=1, dtype=self.dtype)(h)
         return h.astype(jnp.float32)

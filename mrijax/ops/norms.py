@@ -54,3 +54,27 @@ def group_norm_silu(
 ) -> jnp.ndarray:
     """GroupNorm followed by SiLU (the norm→act prologue of every res block)."""
     return jax.nn.silu(group_norm(x, num_groups, scale, bias, eps))
+
+
+def group_norm_silu_auto(
+    x: jnp.ndarray,
+    num_groups: int,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Fused-kernel dispatch: the Pallas GroupNorm+SiLU (2 reads + 1 write)
+    on TPU when the channel count tiles the 128-lane registers cleanly; the
+    XLA composition elsewhere. Results agree within fp32 tolerance (tested in
+    interpreter mode)."""
+    c = x.shape[-1]
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and c % 128 == 0
+        and c % num_groups == 0
+    )
+    if use_pallas:
+        from mrijax.kernels.groupnorm_pallas import group_norm_silu_pallas
+
+        return group_norm_silu_pallas(x, scale, bias, num_groups, eps)
+    return group_norm_silu(x, num_groups, scale, bias, eps)
