@@ -36,8 +36,10 @@ VOLUME_SHAPE = (128, 160, 160)
 def _init_on_cpu(model, *example_args):
     """flax init executes the forward — run it on host CPU at a tiny spatial
     size (params are spatial-size-agnostic) instead of eagerly through the
-    device tunnel."""
-    with jax.default_device(jax.devices("cpu")[0]):
+    device tunnel. Pallas kernels are disabled inside the CPU region."""
+    from mrijax.kernels.dispatch import disable_pallas
+
+    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
         params = model.init(jax.random.PRNGKey(0), *example_args)
     return jax.device_put(params, jax.devices()[0])
 

@@ -27,8 +27,9 @@ from mrijax.ops.attention import multi_head_self_attention
 def _pick_impl(impl: str) -> str:
     if impl != "auto":
         return impl
-    platform = jax.default_backend()
-    return "pallas" if platform == "tpu" else "xla"
+    from mrijax.kernels.dispatch import pallas_enabled
+
+    return "pallas" if pallas_enabled() else "xla"
 
 
 def flash_attention(

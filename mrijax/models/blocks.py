@@ -192,6 +192,10 @@ class AttentionBlock3D(nn.Module):
     groups: int = 8
     dtype: Dtype = jnp.float32
     use_flash: bool = True
+    # Sequence parallelism: shard the D·H·W token axis over this mesh axis
+    # (K/V all-gathered over ICI) — the scaling axis the reference lacks.
+    sp_axis: Optional[str] = None
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -207,7 +211,13 @@ class AttentionBlock3D(nn.Module):
         qkv = qkv.reshape(b, -1, 3, self.num_heads, hd)  # (B, N, 3, H, Dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        if self.use_flash:
+        if self.sp_axis is not None and self.mesh is not None:
+            from mrijax.parallel.sequence import sequence_parallel_attention
+
+            out = sequence_parallel_attention(
+                q, k, v, mesh=self.mesh, axis=self.sp_axis
+            )
+        elif self.use_flash:
             from mrijax.kernels.flash_attention import flash_attention
 
             out = flash_attention(q, k, v)

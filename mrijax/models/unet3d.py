@@ -45,6 +45,10 @@ class UNet3D(nn.Module):
     num_heads: int = 4
     use_attention: bool = True
     use_flash_attention: bool = True
+    # sequence parallelism for the bottleneck attention (token axis sharded
+    # over mesh axis ``sp_axis``); None = single-device attention
+    sp_axis: Any = None
+    mesh: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -72,6 +76,8 @@ class UNet3D(nn.Module):
                 groups=self.groups,
                 dtype=self.dtype,
                 use_flash=self.use_flash_attention,
+                sp_axis=self.sp_axis,
+                mesh=self.mesh,
             )(h)
         h = ResBlock3D(chs[-1], self.groups, dtype=self.dtype)(h, t_emb)
 

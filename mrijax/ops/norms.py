@@ -67,12 +67,10 @@ def group_norm_silu_auto(
     on TPU when the channel count tiles the 128-lane registers cleanly; the
     XLA composition elsewhere. Results agree within fp32 tolerance (tested in
     interpreter mode)."""
+    from mrijax.kernels.dispatch import pallas_enabled
+
     c = x.shape[-1]
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and c % 128 == 0
-        and c % num_groups == 0
-    )
+    use_pallas = pallas_enabled() and c % 128 == 0 and c % num_groups == 0
     if use_pallas:
         from mrijax.kernels.groupnorm_pallas import group_norm_silu_pallas
 

@@ -167,7 +167,9 @@ def _init_params(model, *args, seed=0, mesh=None):
     """Init on host CPU (flax init executes the forward; keep it off the
     device tunnel), then replicate across the mesh (or place on the default
     device when mesh is None)."""
-    with jax.default_device(jax.devices("cpu")[0]):
+    from mrijax.kernels.dispatch import disable_pallas
+
+    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
         params = model.init(jax.random.PRNGKey(seed), *args)
     target = replicated_sharding(mesh) if mesh is not None else jax.devices()[0]
     return jax.device_put(params, target)
