@@ -223,23 +223,32 @@ def cmd_eval(args):
     from mrijax.train.state import create_train_state
 
     cfg, run_dir = _load_run(args.run_dir)
-    if cfg.family != "slice_cond_2d":
-        raise SystemExit("eval currently supports slice_cond_2d runs")
+    if cfg.family not in ("slice_cond_2d", "ddpm_25d"):
+        raise SystemExit("eval supports slice_cond_2d and ddpm_25d runs")
     s = cfg.data.image_size
     model = build_unet2d(cfg.unet)
     diffusion = build_diffusion(cfg.diffusion)
     key = jax.random.PRNGKey(args.seed)
+    is_25d = cfg.family == "ddpm_25d"
+    x_ch = cfg.unet.out_channels
+    ctx_ch = cfg.unet.in_channels - x_ch
     with jax.default_device(jax.devices("cpu")[0]):
+        zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if is_25d else ()
         template = create_train_state(
-            model.init(key, jnp.zeros((1, s, s, cfg.unet.in_channels)),
-                       jnp.zeros((1,), jnp.int32), jnp.zeros((1,))),
+            model.init(key, jnp.zeros((1, s, s, x_ch)),
+                       jnp.zeros((1,), jnp.int32), jnp.zeros((1,)), *zeros_ctx),
             cfg.train.learning_rate,
         )
     state, _ = _restore_params(run_dir, template)
     params = state.params
 
     # volume-level split (no slice leakage)
-    ds = SliceDataset2D(cfg.data.root_dir, s, cfg.data.modality_suffix)
+    if is_25d:
+        from mrijax.data import MultiModalSliceDataset25D
+
+        ds = MultiModalSliceDataset25D(cfg.data.root_dir, s, cfg.data.slice_radius)
+    else:
+        ds = SliceDataset2D(cfg.data.root_dir, s, cfg.data.modality_suffix)
     train_v, val_v, test_v = volume_split_indices(len(ds.volume_paths), seed=42)
     vols = {"train": train_v, "val": val_v, "test": test_v,
             "all": list(range(len(ds.volume_paths)))}[args.split]
@@ -261,13 +270,15 @@ def cmd_eval(args):
     loader = BatchLoader(_View(), args.batch_size, shuffle=False, drop_last=True,
                          prefetch=0)
 
-    def _cond(z, k):
+    def sample_fn(batch, k):
+        z = jnp.asarray(batch["z_pos"])
         if args.unconditional:
             # fixed z=0.5 regardless of the real batch's conditions
             z = jnp.full_like(z, 0.5)
+        context = jnp.asarray(batch["context"]) if is_25d else None
 
         def model_fn(x, t):
-            return model.apply(params, x, t, z)
+            return model.apply(params, x, t, z, context)
 
         shape = (z.shape[0], s, s, cfg.unet.out_channels)
         if args.ddim_steps:
@@ -276,13 +287,14 @@ def cmd_eval(args):
 
     out = Path(args.out or run_dir / "eval" / "metrics.json")
     report = evaluate_conditional_2d(
-        lambda z, k: _cond(z, k),
+        sample_fn,
         iter(loader),
         feature_extractor=FeatureExtractor(),
         num_samples=args.num_samples,
         num_diversity_pairs=args.diversity_pairs,
         compute_pr=args.pr,
         seed=args.seed,
+        eval_channel=args.eval_channel if is_25d else None,
         out_path=out,
     )
     print(json.dumps({k: v for k, v in report.items()
@@ -371,6 +383,8 @@ def build_parser():
     e.add_argument("--pr", action="store_true")
     e.add_argument("--unconditional", action="store_true")
     e.add_argument("--split", default="test", choices=["train", "val", "test", "all"])
+    e.add_argument("--eval-channel", type=int, default=3,
+                   help="channel scored for multichannel (2.5D) models (3=FLAIR)")
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--out", default=None)
     e.set_defaults(fn=cmd_eval)

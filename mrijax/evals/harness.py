@@ -42,7 +42,7 @@ def _bin_of(z: np.ndarray, num_bins: int = NUM_Z_BINS) -> np.ndarray:
 
 
 def evaluate_conditional_2d(
-    sample_fn: Callable[[jnp.ndarray, jax.Array], jnp.ndarray],
+    sample_fn: Callable,
     real_iter,
     *,
     feature_extractor: Optional[FeatureExtractor] = None,
@@ -51,16 +51,27 @@ def evaluate_conditional_2d(
     compute_pr: bool = False,
     memorization_pool: int = 2000,
     seed: int = 0,
+    eval_channel: Optional[int] = None,
     out_path=None,
 ) -> dict:
     """Evaluate a conditional 2D sampler against real data.
 
-    ``sample_fn(z_pos (B,), key) -> (B, H, W, 1) fakes in [-1, 1]``.
-    ``real_iter`` yields dicts with "image" (B, H, W, 1) and "z_pos" (B,)
-    (numpy or device arrays).
+    ``sample_fn(batch, key) -> (B, H, W, C) fakes in [-1, 1]`` — the batch
+    dict carries whatever conditioning the model needs (z_pos for the 2D
+    model; z_pos + context for the 2.5D model). ``real_iter`` yields dicts
+    with at least "image" (B, H, W, C) and "z_pos" (B,).
+
+    ``eval_channel`` selects one channel of both real and fake images before
+    feature extraction for multichannel (2.5D) models — the reference's
+    ``eval_channel`` (`metrics_both.py:178-189`).
     """
     fe = feature_extractor or FeatureExtractor()
     key = jax.random.PRNGKey(seed)
+
+    def select(img):
+        if eval_channel is None:
+            return img
+        return img[..., eval_channel : eval_channel + 1]
 
     global_real = FidAccumulator(fe.dim)
     global_fake = FidAccumulator(fe.dim)
@@ -68,17 +79,19 @@ def evaluate_conditional_2d(
     bin_fake = [FidAccumulator(fe.dim) for _ in range(NUM_Z_BINS)]
     real_feats_all, fake_feats_all = [], []
     real_pool, fake_pool = [], []
-    div_z = None
 
     n_seen = 0
     t0 = time.time()
+    div_batch = None
     for batch in real_iter:
         if n_seen >= num_samples:
             break
-        real = np.asarray(batch["image"])[: num_samples - n_seen]
-        z = np.asarray(batch["z_pos"])[: real.shape[0]]
+        take = min(num_samples - n_seen, np.asarray(batch["image"]).shape[0])
+        batch = {k: np.asarray(v)[:take] for k, v in batch.items()}
+        real = select(batch["image"])
+        z = batch["z_pos"]
         key, sub = jax.random.split(key)
-        fake = np.asarray(sample_fn(jnp.asarray(z), sub))
+        fake = select(np.asarray(sample_fn(batch, sub)))
 
         rf = np.asarray(fe(real))
         ff = np.asarray(fe(fake))
@@ -94,8 +107,8 @@ def evaluate_conditional_2d(
         if len(real_pool) * real.shape[0] < memorization_pool:
             real_pool.append(real)
         fake_pool.append(fake)
-        if div_z is None:
-            div_z = z  # reuse the first batch's conditions for diversity
+        if div_batch is None:
+            div_batch = batch  # reuse the first batch's conditions
         n_seen += real.shape[0]
 
     report: dict = {"num_samples": n_seen, "protocol": "matched-z streaming"}
@@ -117,11 +130,11 @@ def evaluate_conditional_2d(
             )
 
     # diversity: two generations at identical conditions
-    if div_z is not None and num_diversity_pairs > 0:
-        zz = jnp.asarray(div_z[:num_diversity_pairs])
+    if div_batch is not None and num_diversity_pairs > 0:
+        db = {k: v[:num_diversity_pairs] for k, v in div_batch.items()}
         k1, k2 = jax.random.split(jax.random.fold_in(key, 999))
-        g1 = sample_fn(zz, k1)
-        g2 = sample_fn(zz, k2)
+        g1 = select(np.asarray(sample_fn(db, k1)))
+        g2 = select(np.asarray(sample_fn(db, k2)))
         s = np.asarray(ssim(g1, g2))
         report["diversity_ssim_mean"] = float(s.mean())
         report["diversity_ssim_std"] = float(s.std())

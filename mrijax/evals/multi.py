@@ -109,7 +109,9 @@ def _evaluate_one(rc: dict, fe: FeatureExtractor, out_path: Path) -> dict:
                          drop_last=True, prefetch=0)
     ddim_steps = rc.get("ddim_steps")
 
-    def sample_fn(z, k):
+    def sample_fn(batch, k):
+        z = jnp.asarray(batch["z_pos"])
+
         def model_fn(x, t):
             return model.apply(params, x, t, z)
 

@@ -206,14 +206,16 @@ def test_harness_end_to_end(tmp_path):
             z = rng.uniform(size=(b,)).astype(np.float32)
             yield {"image": img, "z_pos": z}
 
-    def good_sampler(z, key):
+    def good_sampler(batch, key):
+        b = batch["z_pos"].shape[0]
         return jnp.asarray(
-            rng.uniform(-1, 0.0, size=(z.shape[0], 16, 16, 1)).astype(np.float32)
+            rng.uniform(-1, 0.0, size=(b, 16, 16, 1)).astype(np.float32)
         )
 
-    def bad_sampler(z, key):
+    def bad_sampler(batch, key):
+        b = batch["z_pos"].shape[0]
         return jnp.asarray(
-            rng.uniform(0.5, 1.0, size=(z.shape[0], 16, 16, 1)).astype(np.float32)
+            rng.uniform(0.5, 1.0, size=(b, 16, 16, 1)).astype(np.float32)
         )
 
     rep_good = evaluate_conditional_2d(
