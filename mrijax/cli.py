@@ -191,6 +191,40 @@ def cmd_sample(args):
         ldm_state, extra = _restore_params(run_dir / "ldm", unet_template)
         latent_scale = float(extra.get("latent_scale", 1.0))
 
+        if args.mode == "diagnostics":
+            # VAE/LDM sanity suite on real volumes (reference show_model's
+            # recon grid, latent stats, DDIM noising roundtrip, eps-MSE-by-t)
+            from mrijax.data import VolumeDataset3D
+
+            ds = VolumeDataset3D(cfg.data.root_dir, cfg.data.patch_size,
+                                 random_crop=False)
+            real = jnp.stack(
+                [jnp.asarray(ds[i]["volume"]) for i in range(min(2, len(ds)))]
+            )
+            diag = generate.Vae3dDiagnostics(
+                unet, ldm_state.params, vae, vae_state.params, diffusion,
+                latent_scale=latent_scale,
+            )
+            recon, l1 = diag.reconstruction(real)
+            report = {
+                "recon_l1": l1,
+                "latent_stats": diag.latent_stats(real),
+                "noising_roundtrip_l1": {
+                    str(k): v for k, v in diag.noising_roundtrip(real).items()
+                },
+                "eps_mse_by_t": {
+                    str(k): v for k, v in diag.eps_mse_by_t(real).items()
+                },
+            }
+            (out_dir / "diagnostics.json").write_text(json.dumps(report, indent=2))
+            save_png(out_dir / "recon_real.png",
+                     volume_midslice_panel(np.asarray(real[0])))
+            save_png(out_dir / "recon_vae.png",
+                     volume_midslice_panel(np.asarray(recon[0])))
+            print(json.dumps(report, indent=2))
+            print(f"[cli] wrote {out_dir}/diagnostics.json + recon panels")
+            return 0
+
         latent_shape = generate.latent_shape_for(
             vae, vae_state.params, (*cfg.data.patch_size, cfg.vae.in_channels)
         )
@@ -364,7 +398,7 @@ def build_parser():
     s.add_argument("--run-dir", required=True)
     s.add_argument("--mode", default="grid",
                    choices=["grid", "sweep", "pseudo3d-real", "pseudo3d-hybrid",
-                            "volume3d"])
+                            "volume3d", "diagnostics"])
     s.add_argument("--num-samples", type=int, default=16)
     s.add_argument("--num-slices", type=int, default=155)
     s.add_argument("--z-pos", type=float, default=0.5)

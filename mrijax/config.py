@@ -81,6 +81,7 @@ class TrainConfig:
     debug_fast: bool = False                   # ref DEBUG_FAST smoke mode
     debug_max_steps: int = 5
     resume: bool = True
+    num_devices: Optional[int] = None          # sub-mesh size (None = all)
 
 
 @dataclass

@@ -5,6 +5,7 @@ from mrijax.obs.signals import install_signal_handlers, should_terminate, reset_
 from mrijax.obs.timing import StepTimer, device_memory_stats
 from mrijax.obs.energy import EnergyMonitor, NullEnergySensor, run_with_energy
 from mrijax.obs.analyze import analyze_run, format_report
+from mrijax.obs.profiling import trace, step_annotation, annotate
 
 __all__ = [
     "MetricsLogger",
@@ -18,4 +19,7 @@ __all__ = [
     "run_with_energy",
     "analyze_run",
     "format_report",
+    "trace",
+    "step_annotation",
+    "annotate",
 ]

@@ -178,9 +178,16 @@ def _init_params(model, *args, seed=0, mesh=None):
 # ------------------------------------------------------------- 2D / 2.5D
 
 
+def _default_mesh(cfg: ExperimentConfig):
+    devices = jax.devices()
+    if cfg.train.num_devices:
+        devices = devices[: cfg.train.num_devices]
+    return make_mesh(("data",), devices=devices)
+
+
 def train_slice_cond_2d(cfg: ExperimentConfig, mesh=None, logger=None) -> TrainerResult:
     install_signal_handlers()
-    mesh = mesh or make_mesh(("data",))
+    mesh = mesh or _default_mesh(cfg)
     logger = logger or MetricsLogger(cfg.family, run_name=cfg.name)
     logger.log_params(_flatten_cfg(cfg))
 
@@ -217,7 +224,7 @@ def train_slice_cond_2d(cfg: ExperimentConfig, mesh=None, logger=None) -> Traine
 
 def train_ddpm_25d(cfg: ExperimentConfig, mesh=None, logger=None) -> TrainerResult:
     install_signal_handlers()
-    mesh = mesh or make_mesh(("data",))
+    mesh = mesh or _default_mesh(cfg)
     logger = logger or MetricsLogger(cfg.family, run_name=cfg.name)
     logger.log_params(_flatten_cfg(cfg))
 
@@ -266,7 +273,7 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
     reference `train.py:350-364,539-553`).
     """
     install_signal_handlers()
-    mesh = mesh or make_mesh(("data",))
+    mesh = mesh or _default_mesh(cfg)
     logger = logger or MetricsLogger(cfg.family, run_name=cfg.name)
     logger.log_params(_flatten_cfg(cfg))
 

@@ -142,7 +142,13 @@ class Trainer:
                     preempted = True
                     break
 
-            train_loss = float(np.mean([_scalar(l) for l in losses])) if losses else float("nan")
+            if not losses:
+                raise RuntimeError(
+                    "train loader yielded zero batches — dataset too small "
+                    f"for batch_size={self.train_loader.batch_size} with "
+                    "drop_last; reduce the batch size or add data"
+                )
+            train_loss = float(np.mean([_scalar(l) for l in losses]))
             epoch_time = time.time() - t_epoch
 
             val_losses = []
