@@ -6,10 +6,22 @@ from mrijax.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from mrijax.parallel.sequence import sequence_parallel_attention
+from mrijax.parallel.multihost import (
+    initialize,
+    broadcast_from_host0,
+    all_processes_agree,
+    any_process_flagged,
+)
 
 __all__ = [
     "make_mesh",
     "data_sharding",
     "replicated_sharding",
     "shard_batch",
+    "sequence_parallel_attention",
+    "initialize",
+    "broadcast_from_host0",
+    "all_processes_agree",
+    "any_process_flagged",
 ]

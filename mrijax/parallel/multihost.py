@@ -1,0 +1,72 @@
+"""Multi-host initialization and host-scalar utilities.
+
+Replaces the reference's torchrun/NCCL rendezvous (`ddpm_3d_ldm/
+train.py:76-105`, `training_job_DDP.sh:71-91`): on TPU pods,
+``jax.distributed.initialize()`` discovers the coordinator from the TPU
+runtime environment (no env-var plumbing); on other clusters the standard
+JAX coordinator variables apply. After init, ``jax.devices()`` spans all
+hosts and the same SPMD code runs unchanged.
+
+The reference's explicit host-scalar collectives (val-loss broadcast,
+stop-flag broadcast, `train.py:127-132,509-512`) mostly vanish under SPMD —
+these helpers cover the residual cases (e.g. aborting on a host-local
+signal that other hosts must agree on).
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Idempotent ``jax.distributed.initialize`` (no-op when single-process
+    and no coordinator is configured)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError) as e:
+        # single-process run without a coordinator: fine
+        if num_processes not in (None, 1):
+            raise
+        print(f"[multihost] single-process mode ({e})")
+
+
+def broadcast_from_host0(value: float) -> float:
+    """Agree on a host-0 scalar across processes (the reference's
+    ``dist.broadcast`` of val-loss / latent-scale)."""
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return float(value)
+    arr = multihost_utils.broadcast_one_to_all(np.asarray(value, np.float32))
+    return float(arr)
+
+
+def all_processes_agree(flag: bool) -> bool:
+    """True only if EVERY process raised the flag (early-stop / preemption
+    consensus — the reference's stop-flag broadcast, but symmetric)."""
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return bool(flag)
+    votes = multihost_utils.process_allgather(np.asarray([bool(flag)]))
+    return bool(np.all(votes))
+
+
+def any_process_flagged(flag: bool) -> bool:
+    """True if ANY process raised the flag (e.g. SIGUSR1 delivered to one
+    host must stop all hosts)."""
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return bool(flag)
+    votes = multihost_utils.process_allgather(np.asarray([bool(flag)]))
+    return bool(np.any(votes))
