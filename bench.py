@@ -70,14 +70,18 @@ def build_pipeline():
         vae, jnp.zeros((1, 16, 16, 16, 4), jnp.bfloat16), jax.random.PRNGKey(1)
     )
 
-    def sample_volume(rng):
+    # Params are explicit jit ARGUMENTS: closing over them would embed
+    # ~280 MB of weights as HLO constants — the remote-compile tunnel
+    # rejects the payload (HTTP 413) and local compiles slow to a crawl.
+    def sample_volume(unet_params, vae_params, rng):
         def model_fn(x, t):
             return unet.apply(unet_params, x, t)
 
         z = diffusion.ddim_sample(model_fn, LATENT_SHAPE, rng, num_steps=T_STEPS)
         return vae.apply(vae_params, z, method="decode_from_latent")
 
-    return jax.jit(sample_volume)
+    jitted = jax.jit(sample_volume)
+    return lambda rng: jitted(unet_params, vae_params, rng)
 
 
 def main():
