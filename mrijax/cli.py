@@ -337,6 +337,64 @@ def cmd_eval(args):
     return 0
 
 
+def cmd_import_torch(args):
+    """Convert a reference PyTorch checkpoint (2D / 2.5D diffusion
+    state_dict) into a mrijax run directory usable by sample/eval."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from mrijax.config import PRESETS, _apply_overrides
+    from mrijax.io import CheckpointManager
+    from mrijax.io.torch_convert import convert_reference_unet2d, infer_timesteps
+    from mrijax.train.experiments import build_unet2d
+    from mrijax.train.state import create_train_state
+
+    sd = torch.load(args.checkpoint, map_location="cpu", weights_only=True)
+    sd = {k: v for k, v in sd.items()} if isinstance(sd, dict) else sd
+
+    cfg = PRESETS[args.preset](args.root_dir or "")
+    cfg.name = args.name or "imported"
+    _apply_overrides(cfg, _parse_set(args.set))
+    t_inferred = infer_timesteps(sd)
+    if t_inferred:
+        cfg.diffusion.timesteps = t_inferred
+        print(f"[cli] inferred T={t_inferred} from checkpoint betas")
+
+    params = convert_reference_unet2d(sd, channel_mults=cfg.unet.channel_mults)
+
+    # sanity: the converted tree must match the model built from the config
+    model = build_unet2d(cfg.unet)
+    s = cfg.data.image_size
+    x_ch = cfg.unet.out_channels
+    ctx_ch = cfg.unet.in_channels - x_ch
+    with jax.default_device(jax.devices("cpu")[0]):
+        zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if ctx_ch else ()
+        ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, x_ch)),
+                         jnp.zeros((1,), jnp.int32), jnp.zeros((1,)), *zeros_ctx)
+    ref_shapes = jax.tree.map(lambda a: a.shape, ref)
+    got_shapes = jax.tree.map(lambda a: a.shape, params)
+    if ref_shapes != got_shapes:
+        raise SystemExit(
+            "converted parameter tree does not match the config's model — "
+            "check --preset / --set channel settings against the checkpoint"
+        )
+
+    run_dir = Path(args.out)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    cfg.to_json(run_dir / "config.json")
+    state = create_train_state(
+        jax.tree.map(jnp.asarray, params), cfg.train.learning_rate
+    )
+    mgr = CheckpointManager(run_dir)
+    mgr.save(0, state, {"imported_from": str(args.checkpoint)},
+             metrics={"val_loss": 0.0})
+    mgr.wait()
+    mgr.close()
+    print(f"[cli] imported {args.checkpoint} -> {run_dir}")
+    return 0
+
+
 def cmd_preprocess(args):
     from mrijax.data import pack_dataset
 
@@ -422,6 +480,16 @@ def build_parser():
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--out", default=None)
     e.set_defaults(fn=cmd_eval)
+
+    it = sub.add_parser("import-torch",
+                        help="convert a reference PyTorch checkpoint")
+    it.add_argument("--checkpoint", required=True)
+    it.add_argument("--out", required=True, help="run dir to create")
+    it.add_argument("--preset", default="slice_cond_2d")
+    it.add_argument("--root-dir", default=None)
+    it.add_argument("--name", default=None)
+    it.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
+    it.set_defaults(fn=cmd_import_torch)
 
     pp = sub.add_parser("preprocess", help="pack slices into npz shards")
     pp.add_argument("--root-dir", required=True)

@@ -1,0 +1,170 @@
+"""Convert reference (PyTorch) checkpoints into mrijax flax params.
+
+Lets users of the reference bring their trained weights along. Handles the
+reference's checkpoint format for the 2D/2.5D UNets
+(`diffusion.state_dict()` — UNet weights under ``model.*`` plus schedule
+buffers like ``betas``; may carry ``model.module.`` / ``module.`` prefixes
+from DataParallel/DDP wrapping, the three remap variants of
+`slice_cond_2d_ddpm/show_model.py:110-124`).
+
+Leaf transforms (determined empirically, verified by forward-parity tests
+in tests/test_torch_parity.py):
+
+* Conv{2,3}d          (O, I, *k)  →  (*k, I, O)           [exact]
+* ConvTranspose{2,3}d (I, O, *k)  →  flip spatial, (*k, I, O)  [exact]
+* Linear              (O, I)      →  (I, O)
+* GroupNorm           weight/bias →  scale/bias (fp32)
+
+The checkpoint's tensors arrive as numpy arrays: pass
+``{k: v.numpy() for k, v in torch.load(p).items()}`` (no torch needed at
+conversion time if the dict is already numpy, e.g. loaded via
+``torch.load(..., map_location="cpu")`` elsewhere).
+"""
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+def _np(v) -> np.ndarray:
+    if hasattr(v, "detach"):  # torch tensor
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def conv_kernel(w) -> np.ndarray:
+    """(O, I, *k) → (*k, I, O)."""
+    w = _np(w)
+    spatial = tuple(range(2, w.ndim))
+    return np.ascontiguousarray(w.transpose(*spatial, 1, 0))
+
+
+def convt_kernel(w) -> np.ndarray:
+    """(I, O, *k) → spatial-flip → (*k, I, O) (matches flax ConvTranspose
+    with the default transpose_kernel=False)."""
+    w = _np(w)
+    flip = tuple(slice(None, None, -1) for _ in range(w.ndim - 2))
+    w = w[(slice(None), slice(None)) + flip]
+    spatial = tuple(range(2, w.ndim))
+    return np.ascontiguousarray(w.transpose(*spatial, 0, 1))
+
+
+def linear_kernel(w) -> np.ndarray:
+    """(O, I) → (I, O)."""
+    return np.ascontiguousarray(_np(w).T)
+
+
+def strip_prefixes(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Unwrap {state_dict: ...} nesting and drop DataParallel/DDP prefixes,
+    keeping only the UNet's ``model.*`` subtree (schedule buffers dropped —
+    mrijax recomputes them from the config in fp64)."""
+    if "state_dict" in state_dict and isinstance(state_dict["state_dict"], dict):
+        state_dict = state_dict["state_dict"]
+    out = {}
+    for k, v in state_dict.items():
+        for pre in ("model.module.", "module.model.", "model.", "module."):
+            if k.startswith(pre):
+                out[k[len(pre):]] = _np(v)
+                break
+    return out
+
+
+def infer_timesteps(state_dict: Dict[str, np.ndarray]) -> Optional[int]:
+    """T from the checkpointed ``betas`` buffer (eval-parity trick,
+    `slice_cond_2d_ddpm/metrics.py:291-294`)."""
+    for k in ("betas", "state_dict"):
+        if k == "state_dict" and isinstance(state_dict.get(k), dict):
+            return infer_timesteps(state_dict[k])
+        if k in state_dict:
+            return int(_np(state_dict[k]).shape[0])
+    return None
+
+
+def _resblock(p: Dict[str, np.ndarray], prefix: str, has_res_conv: bool) -> dict:
+    out = {
+        "Conv_0": {"kernel": conv_kernel(p[f"{prefix}.conv1.weight"]),
+                   "bias": _np(p[f"{prefix}.conv1.bias"])},
+        "GroupNormSiLU_0": {"scale": _np(p[f"{prefix}.norm1.weight"]),
+                            "bias": _np(p[f"{prefix}.norm1.bias"])},
+        "Dense_0": {"kernel": linear_kernel(p[f"{prefix}.time_mlp.weight"]),
+                    "bias": _np(p[f"{prefix}.time_mlp.bias"])},
+        "Conv_1": {"kernel": conv_kernel(p[f"{prefix}.conv2.weight"]),
+                   "bias": _np(p[f"{prefix}.conv2.bias"])},
+        "GroupNormSiLU_1": {"scale": _np(p[f"{prefix}.norm2.weight"]),
+                            "bias": _np(p[f"{prefix}.norm2.bias"])},
+    }
+    if has_res_conv:
+        out["Conv_2"] = {"kernel": conv_kernel(p[f"{prefix}.res_conv.weight"]),
+                         "bias": _np(p[f"{prefix}.res_conv.bias"])}
+    return out
+
+
+def convert_reference_unet2d(
+    state_dict: Dict,
+    *,
+    channel_mults: Sequence[int] = (1, 2, 4, 8),
+) -> dict:
+    """Reference 2D/2.5D UNet ``diffusion.state_dict()`` → flax params for
+    ``mrijax.models.UNet2D`` (identical forward within fp32 tolerance).
+
+    Covers both `slice_cond_2d_ddpm/unet.py:108-199` and the 2.5D variant
+    (same module names; only channel counts differ).
+    """
+    p = strip_prefixes({k: _np(v) for k, v in state_dict.items()})
+    if not p:
+        raise ValueError("no model.* keys found — is this a reference checkpoint?")
+    n_trans = len(channel_mults) - 1
+
+    params: dict = {
+        "TimeEmbedding_0": {
+            "Dense_0": {"kernel": linear_kernel(p["time_mlp.1.weight"]),
+                        "bias": _np(p["time_mlp.1.bias"])},
+            "Dense_1": {"kernel": linear_kernel(p["time_mlp.3.weight"]),
+                        "bias": _np(p["time_mlp.3.bias"])},
+        },
+        "ScalarCondEmbedding_0": {
+            "Dense_0": {"kernel": linear_kernel(p["slice_mlp.0.weight"]),
+                        "bias": _np(p["slice_mlp.0.bias"])},
+            "Dense_1": {"kernel": linear_kernel(p["slice_mlp.2.weight"]),
+                        "bias": _np(p["slice_mlp.2.bias"])},
+        },
+        "Conv_0": {"kernel": conv_kernel(p["init_conv.weight"]),
+                   "bias": _np(p["init_conv.bias"])},
+    }
+
+    rb = 0
+    for i in range(n_trans):
+        # DownBlock i: res1 changes channels (res_conv), res2 keeps them
+        params[f"ResBlock2D_{rb}"] = _resblock(
+            p, f"downs.{i}.res1", has_res_conv=f"downs.{i}.res1.res_conv.weight" in p
+        )
+        params[f"ResBlock2D_{rb + 1}"] = _resblock(
+            p, f"downs.{i}.res2", has_res_conv=f"downs.{i}.res2.res_conv.weight" in p
+        )
+        params[f"Downsample_{i}"] = {
+            "Conv_0": {"kernel": conv_kernel(p[f"downs.{i}.down.weight"]),
+                       "bias": _np(p[f"downs.{i}.down.bias"])},
+        }
+        rb += 2
+    for mid in ("mid_block1", "mid_block2"):
+        params[f"ResBlock2D_{rb}"] = _resblock(
+            p, mid, has_res_conv=f"{mid}.res_conv.weight" in p
+        )
+        rb += 1
+    for j in range(n_trans):
+        params[f"Upsample_{j}"] = {
+            "ConvTranspose_0": {"kernel": convt_kernel(p[f"ups.{j}.up.weight"]),
+                                "bias": _np(p[f"ups.{j}.up.bias"])},
+        }
+        for r, name in ((0, "res1"), (1, "res2")):
+            params[f"ResBlock2D_{rb}"] = _resblock(
+                p, f"ups.{j}.{name}",
+                has_res_conv=f"ups.{j}.{name}.res_conv.weight" in p,
+            )
+            rb += 1
+
+    params["GroupNormSiLU_0"] = {"scale": _np(p["out_norm.weight"]),
+                                 "bias": _np(p["out_norm.bias"])}
+    params["Conv_1"] = {"kernel": conv_kernel(p["out_conv.weight"]),
+                        "bias": _np(p["out_conv.bias"])}
+    return {"params": params}
