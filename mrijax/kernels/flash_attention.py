@@ -1,9 +1,11 @@
 """Flash (memory-efficient) self-attention for the 3D latent bottleneck.
 
 The reference materializes the full N×N attention matrix over N = D·H·W
-tokens (`ddpm_3d_ldm/unet_attention.py:44-52`) — at the flagship latent
-resolution 32×40×40 that is 51 200² × heads logits, the single biggest
-memory/compute hot spot in the stack. Here:
+tokens (`ddpm_3d_ldm/unet_attention.py:44-52`). At the flagship config the
+block sits at the bottleneck (N = 800), where that is affordable — but the
+quadratic wall is what forces the reference to keep attention at the lowest
+resolution only. This kernel removes the wall (O(N·block) memory), enabling
+attention at higher levels / full-latent resolution (N = 51 200+):
 
 * ``impl="pallas"`` — a Pallas TPU kernel: online-softmax over KV blocks,
   O(N · block) memory, fp32 accumulators, logits on the MXU.

@@ -1,8 +1,9 @@
 """Pallas TPU flash attention (online softmax over KV blocks).
 
-Replaces the reference's materialized N×N softmax at the 3D latent
-bottleneck (`ddpm_3d_ldm/unet_attention.py:44-52`, N = D·H·W = 51 200 at the
-flagship latent resolution) with an O(N·block) streaming kernel:
+Replaces the reference's materialized N×N softmax
+(`ddpm_3d_ldm/unet_attention.py:44-52`) with an O(N·block) streaming
+kernel, lifting the quadratic-memory wall that confines the reference's
+attention to the 800-token bottleneck (full-latent N = 51 200 works):
 
 * grid = (batch·heads, N/BLOCK_Q, N/BLOCK_K); the KV axis is the innermost
   (sequential) grid dimension, so per-(bh, q-block) running max / sum /

@@ -182,10 +182,12 @@ class AttentionBlock3D(nn.Module):
     proj → residual (`ddpm_3d_ldm/unet_attention.py:28-56`).
 
     On channels-last tensors a 1×1×1 conv is a Dense over the channel axis,
-    which XLA maps to a single MXU matmul over all tokens. ``use_flash``
-    routes the softmax(qkᵀ)v core through the Pallas flash-attention kernel
-    (O(N) memory — required once N = D·H·W reaches ~51k tokens at the
-    reference's latent resolution).
+    which XLA maps to a single MXU matmul over all tokens. At the flagship
+    config this block sits at the UNet bottleneck (latent/4 ⇒ N = 8·10·10 =
+    800 tokens), where exact attention is cheap; ``use_flash`` routes the
+    softmax(qkᵀ)v core through the Pallas flash-attention kernel, which is
+    what makes attention at HIGHER resolutions (e.g. the full 51 200-token
+    latent, or shallower UNets) feasible with O(N·block) memory.
     """
 
     num_heads: int = 4

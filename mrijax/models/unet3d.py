@@ -15,8 +15,9 @@ Topology (parity):
   mismatch → concat → res(2ch→ch) → res(ch→ch);
 * head: GN → SiLU → conv3×3×3 → in_channels.
 
-Layout is channels-last (B, D, H, W, C). The attention block uses the Pallas
-flash kernel on TPU (``attn_impl="auto"``).
+Layout is channels-last (B, D, H, W, C). The bottleneck attention (N =
+D·H·W / 64 tokens at 2 downsamples) uses the Pallas flash kernel on TPU and
+can shard its token axis over a mesh (``sp_axis``) for larger-N variants.
 """
 
 from typing import Any, Sequence
