@@ -29,7 +29,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_VOL_PER_S = 0.045  # estimated reference GPU pipeline (see docstring)
 T_STEPS = 400
-BATCH = 4  # volumes denoised together: throughput metric; the reference
+BATCH = 8  # volumes denoised together: throughput metric; the reference
            # samples one volume at a time (bs=1/GPU) — batching is the
            # TPU-native way to fill the MXU at these small spatial shapes
 LATENT_SHAPE = (BATCH, 32, 40, 40, 16)

@@ -168,3 +168,158 @@ def convert_reference_unet2d(
     params["Conv_1"] = {"kernel": conv_kernel(p["out_conv.weight"]),
                         "bias": _np(p["out_conv.bias"])}
     return {"params": params}
+
+
+def _resblock3d(p: Dict[str, np.ndarray], prefix: str, *, timed: bool) -> dict:
+    """Reference ResidualBlock3D[NoTime] → mrijax ResBlock3D
+    (norm→act→conv pre-activation; time-proj without activation)."""
+    out = {
+        "GroupNormSiLU_0": {"scale": _np(p[f"{prefix}.norm1.weight"]),
+                            "bias": _np(p[f"{prefix}.norm1.bias"])},
+        "Conv_0": {"kernel": conv_kernel(p[f"{prefix}.conv1.weight"]),
+                   "bias": _np(p[f"{prefix}.conv1.bias"])},
+        "GroupNormSiLU_1": {"scale": _np(p[f"{prefix}.norm2.weight"]),
+                            "bias": _np(p[f"{prefix}.norm2.bias"])},
+        "Conv_1": {"kernel": conv_kernel(p[f"{prefix}.conv2.weight"]),
+                   "bias": _np(p[f"{prefix}.conv2.bias"])},
+    }
+    if timed and f"{prefix}.time_mlp.weight" in p:
+        out["Dense_0"] = {"kernel": linear_kernel(p[f"{prefix}.time_mlp.weight"]),
+                          "bias": _np(p[f"{prefix}.time_mlp.bias"])}
+    if f"{prefix}.skip.weight" in p:
+        out["Conv_2"] = {"kernel": conv_kernel(p[f"{prefix}.skip.weight"]),
+                         "bias": _np(p[f"{prefix}.skip.bias"])}
+    return out
+
+
+def _conv1x1_to_dense(w, b) -> dict:
+    """1×1(×1) conv → Dense over the channel axis (channels-last)."""
+    w = _np(w)
+    return {"kernel": np.ascontiguousarray(w.reshape(w.shape[0], w.shape[1]).T),
+            "bias": _np(b)}
+
+
+def convert_reference_unet3d(
+    state_dict: Dict,
+    *,
+    channel_mults: Sequence[int] = (1, 2, 4),
+    use_attention: bool = True,
+) -> dict:
+    """Reference ``UNet3DModel[WithAttention]`` weights → flax params for
+    ``mrijax.models.UNet3D`` (`ddpm_3d_ldm/unet_attention.py:88-200`)."""
+    p = strip_prefixes({k: _np(v) for k, v in state_dict.items()})
+    if not p:  # 3D checkpoints may be saved unwrapped (UNet-only state_dict)
+        p = {k: _np(v) for k, v in state_dict.items()}
+    levels = len(channel_mults)
+
+    params: dict = {
+        "TimeEmbedding_0": {
+            "Dense_0": {"kernel": linear_kernel(p["time_mlp.1.weight"]),
+                        "bias": _np(p["time_mlp.1.bias"])},
+            "Dense_1": {"kernel": linear_kernel(p["time_mlp.3.weight"]),
+                        "bias": _np(p["time_mlp.3.bias"])},
+        },
+        "Conv_0": {"kernel": conv_kernel(p["in_conv.weight"]),
+                   "bias": _np(p["in_conv.bias"])},
+    }
+    rb = 0
+    for i in range(levels):
+        params[f"ResBlock3D_{rb}"] = _resblock3d(p, f"downs.{i}.res1", timed=True)
+        params[f"ResBlock3D_{rb + 1}"] = _resblock3d(p, f"downs.{i}.res2", timed=True)
+        if i != levels - 1:
+            params[f"Downsample_{i}"] = {
+                "Conv_0": {"kernel": conv_kernel(p[f"downs.{i}.down.weight"]),
+                           "bias": _np(p[f"downs.{i}.down.bias"])},
+            }
+        rb += 2
+    params[f"ResBlock3D_{rb}"] = _resblock3d(p, "mid1", timed=True)
+    rb += 1
+    if use_attention:
+        params["AttentionBlock3D_0"] = {
+            "GroupNorm_0": {"scale": _np(p["mid_attn.norm.weight"]),
+                            "bias": _np(p["mid_attn.norm.bias"])},
+            "Dense_0": _conv1x1_to_dense(p["mid_attn.qkv.weight"],
+                                         p["mid_attn.qkv.bias"]),
+            "Dense_1": _conv1x1_to_dense(p["mid_attn.proj.weight"],
+                                         p["mid_attn.proj.bias"]),
+        }
+    params[f"ResBlock3D_{rb}"] = _resblock3d(p, "mid2", timed=True)
+    rb += 1
+    # up path: reference iterates i = levels-1..0; ups.0.up is Identity
+    up_idx = 0
+    for j in range(levels):
+        if j > 0:
+            params[f"Upsample_{up_idx}"] = {
+                "ConvTranspose_0": {
+                    "kernel": convt_kernel(p[f"ups.{j}.up.weight"]),
+                    "bias": _np(p[f"ups.{j}.up.bias"]),
+                },
+            }
+            up_idx += 1
+        params[f"ResBlock3D_{rb}"] = _resblock3d(p, f"ups.{j}.res1", timed=True)
+        params[f"ResBlock3D_{rb + 1}"] = _resblock3d(p, f"ups.{j}.res2", timed=True)
+        rb += 2
+    params["GroupNormSiLU_0"] = {"scale": _np(p["out_norm.weight"]),
+                                 "bias": _np(p["out_norm.bias"])}
+    params["Conv_1"] = {"kernel": conv_kernel(p["out_conv.weight"]),
+                        "bias": _np(p["out_conv.bias"])}
+    return {"params": params}
+
+
+def convert_reference_vae3d(state_dict: Dict, *, num_down: int = 3) -> dict:
+    """Reference ``VAE3D`` weights → flax params for ``mrijax.models.VAE3D``
+    (`ddpm_3d_ldm/vae.py:5-128`)."""
+    p = {k: _np(v) for k, v in state_dict.items()}
+    if "state_dict" in p and isinstance(state_dict.get("state_dict"), dict):
+        p = {k: _np(v) for k, v in state_dict["state_dict"].items()}
+    p = {k[len("module."):] if k.startswith("module.") else k: v
+         for k, v in p.items()}
+
+    enc: dict = {
+        "Conv_0": {"kernel": conv_kernel(p["encoder.in_conv.weight"]),
+                   "bias": _np(p["encoder.in_conv.bias"])},
+    }
+    # encoder.downs is a FLAT ModuleList: [res, (res, conv)] per level
+    k = 0
+    rb = 0
+    for i in range(num_down):
+        enc[f"ResBlock3D_{rb}"] = _resblock3d(p, f"encoder.downs.{k}", timed=False)
+        rb += 1
+        k += 1
+        if i != num_down - 1:
+            enc[f"ResBlock3D_{rb}"] = _resblock3d(p, f"encoder.downs.{k}", timed=False)
+            rb += 1
+            k += 1
+            enc[f"Downsample_{i}"] = {
+                "Conv_0": {"kernel": conv_kernel(p[f"encoder.downs.{k}.weight"]),
+                           "bias": _np(p[f"encoder.downs.{k}.bias"])},
+            }
+            k += 1
+    enc["Conv_1"] = {"kernel": conv_kernel(p["encoder.to_mu_logvar.weight"]),
+                     "bias": _np(p["encoder.to_mu_logvar.bias"])}
+
+    dec: dict = {
+        "Conv_0": {"kernel": conv_kernel(p["decoder.from_latent.weight"]),
+                   "bias": _np(p["decoder.from_latent.bias"])},
+    }
+    k = 0
+    rb = 0
+    for i in reversed(range(num_down)):
+        dec[f"ResBlock3D_{rb}"] = _resblock3d(p, f"decoder.ups.{k}", timed=False)
+        rb += 1
+        k += 1
+        if i != 0:
+            dec[f"ResBlock3D_{rb}"] = _resblock3d(p, f"decoder.ups.{k}", timed=False)
+            rb += 1
+            k += 1
+            up_i = num_down - 1 - i
+            dec[f"Upsample_{up_i}"] = {
+                "ConvTranspose_0": {
+                    "kernel": convt_kernel(p[f"decoder.ups.{k}.weight"]),
+                    "bias": _np(p[f"decoder.ups.{k}.bias"]),
+                },
+            }
+            k += 1
+    dec["Conv_1"] = {"kernel": conv_kernel(p["decoder.out_conv.weight"]),
+                     "bias": _np(p["decoder.out_conv.bias"])}
+    return {"params": {"encoder": enc, "decoder": dec}}
