@@ -5,8 +5,8 @@ Protocol (matches the reference's only full generation pipeline,
 32×40×40 latent with the flagship UNet3D (+bottleneck attention, base 128,
 mults (1,2,4)) followed by VAE3D decode to a 4-modality 128×160×160 volume.
 Here the whole loop is ONE compiled ``lax.scan`` (DDIM, same 400 model
-evaluations), bf16 compute, Pallas flash attention at the 51 200-token
-bottleneck.
+evaluations), bf16 compute, fused Pallas GroupNorm+SiLU, flash attention at
+the bottleneck.
 
 Prints ONE JSON line: volumes/sec/chip and the ratio vs the GPU baseline.
 
@@ -32,6 +32,7 @@ T_STEPS = 400
 BATCH = 8  # volumes denoised together: throughput metric; the reference
            # samples one volume at a time (bs=1/GPU) — batching is the
            # TPU-native way to fill the MXU at these small spatial shapes
+DECODE_CHUNK = 4  # volumes decoded at once (full-res decode sets the HBM peak)
 LATENT_SHAPE = (BATCH, 32, 40, 40, 16)
 VOLUME_SHAPE = (128, 160, 160)
 
@@ -81,13 +82,86 @@ def build_pipeline():
             return unet.apply(unet_params, x, t)
 
         z = diffusion.ddim_sample(model_fn, LATENT_SHAPE, rng, num_steps=T_STEPS)
-        return vae.apply(vae_params, z, method="decode_from_latent")
+        # Denoising at batch B is light (latents are small); the full-res
+        # decode is the memory peak (batch 8 would exceed HBM by ~0.4 GB),
+        # so decode sequentially in chunks of DECODE_CHUNK via lax.map.
+        zc = z.reshape(BATCH // DECODE_CHUNK, DECODE_CHUNK, *z.shape[1:])
+        vols = jax.lax.map(
+            lambda zz: vae.apply(vae_params, zz, method="decode_from_latent"), zc
+        )
+        return vols.reshape(BATCH, *vols.shape[2:])
 
     jitted = jax.jit(sample_volume)
     return lambda rng: jitted(unet_params, vae_params, rng)
 
 
+def bench_train_step():
+    """Secondary benchmark (``--train``): flagship LDM train-step time —
+    frozen-VAE encode of a (1, 128, 160, 160, 4) volume → min-SNR loss →
+    grad → Adam update, one compiled program (the reference's per-step
+    hot loop, `ddpm_3d_ldm/train.py:368-433`)."""
+    import numpy as np
+
+    from mrijax.diffusion import GaussianDiffusion, cosine_beta_schedule, make_schedule
+    from mrijax.models import UNet3D, VAE3D
+    from mrijax.train import create_train_state
+    from mrijax.train.steps import make_latent_diffusion_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    unet_kw = dict(
+        in_channels=16, base_channels=128, channel_mults=(1, 2, 4),
+        use_attention=True, num_heads=4, dtype=jnp.bfloat16,
+    )
+    unet = UNet3D(use_flash_attention=on_tpu, **unet_kw)
+    unet_init = UNet3D(use_flash_attention=False, **unet_kw)
+    vae = VAE3D(in_channels=4, base_channels=32, num_down=3,
+                latent_channels=16, dtype=jnp.bfloat16)
+    diffusion = GaussianDiffusion(
+        make_schedule(cosine_beta_schedule(T_STEPS)), loss_type="min_snr"
+    )
+    unet_params = _init_on_cpu(
+        unet_init, jnp.zeros((1, 8, 8, 8, 16), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32),
+    )
+    vae_params = _init_on_cpu(
+        vae, jnp.zeros((1, 16, 16, 16, 4), jnp.bfloat16), jax.random.PRNGKey(1)
+    )
+    state = jax.device_put(
+        create_train_state(unet_params, 1e-4), jax.devices()[0]
+    )
+    step = make_latent_diffusion_train_step(unet, vae, diffusion, donate=False)
+    batch = {
+        "volume": jax.device_put(
+            np.random.default_rng(0)
+            .normal(size=(1, *VOLUME_SHAPE, 4))
+            .astype(np.float32)
+            .astype(jnp.bfloat16)
+        )
+    }
+    key = jax.random.PRNGKey(0)
+    state, loss = step(state, vae_params, batch, key, 1.0)
+    _ = float(loss)  # sync
+    n = 4
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, loss = step(state, vae_params, batch, jax.random.fold_in(key, i), 1.0)
+        _ = float(loss)
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "3d_ldm_train_step_time",
+        "value": round(dt, 4),
+        "unit": "sec/step (bs=1 volume 128x160x160x4, frozen-VAE encode + min-SNR + Adam)",
+        "vs_baseline": None,
+        "steps_per_s": round(1.0 / dt, 3),
+    }))
+
+
 def main():
+    import sys
+
+    if "--train" in sys.argv:
+        bench_train_step()
+        return
     t_setup = time.perf_counter()
     sample = build_pipeline()
     rng = jax.random.PRNGKey(42)
