@@ -73,24 +73,34 @@ def _evaluate_one(rc: dict, fe: FeatureExtractor, out_path: Path) -> dict:
 
     run_dir = Path(rc["run_dir"])
     cfg = ExperimentConfig.from_json(run_dir / "config.json")
-    if cfg.family not in ("slice_cond_2d",):
+    if cfg.family not in ("slice_cond_2d", "ddpm_25d"):
         raise NotImplementedError(
-            f"multi-eval currently handles slice_cond_2d; got {cfg.family}"
+            f"multi-eval handles slice_cond_2d and ddpm_25d; got {cfg.family}"
         )
+    is_25d = cfg.family == "ddpm_25d"
     s = cfg.data.image_size
     model = build_unet2d(cfg.unet)
     diffusion = build_diffusion(cfg.diffusion)
+    x_ch = cfg.unet.out_channels
+    ctx_ch = cfg.unet.in_channels - x_ch
     with jax.default_device(jax.devices("cpu")[0]):
+        zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if is_25d else ()
         template = create_train_state(
             model.init(jax.random.PRNGKey(0),
-                       jnp.zeros((1, s, s, cfg.unet.in_channels)),
-                       jnp.zeros((1,), jnp.int32), jnp.zeros((1,))),
+                       jnp.zeros((1, s, s, x_ch)),
+                       jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
+                       *zeros_ctx),
             cfg.train.learning_rate,
         )
     state, _ = _restore_params(run_dir, template)
     params = state.params
 
-    ds = SliceDataset2D(cfg.data.root_dir, s, cfg.data.modality_suffix)
+    if is_25d:
+        from mrijax.data import MultiModalSliceDataset25D
+
+        ds = MultiModalSliceDataset25D(cfg.data.root_dir, s, cfg.data.slice_radius)
+    else:
+        ds = SliceDataset2D(cfg.data.root_dir, s, cfg.data.modality_suffix)
     split = rc.get("split", "test")
     train_v, val_v, test_v = volume_split_indices(len(ds.volume_paths), seed=42)
     vols = {"train": train_v, "val": val_v, "test": test_v,
@@ -111,9 +121,10 @@ def _evaluate_one(rc: dict, fe: FeatureExtractor, out_path: Path) -> dict:
 
     def sample_fn(batch, k):
         z = jnp.asarray(batch["z_pos"])
+        context = jnp.asarray(batch["context"]) if is_25d else None
 
         def model_fn(x, t):
-            return model.apply(params, x, t, z)
+            return model.apply(params, x, t, z, context)
 
         shape = (z.shape[0], s, s, cfg.unet.out_channels)
         if ddim_steps:
@@ -126,5 +137,6 @@ def _evaluate_one(rc: dict, fe: FeatureExtractor, out_path: Path) -> dict:
         num_diversity_pairs=rc.get("diversity_pairs", 64),
         compute_pr=rc.get("compute_pr", False),
         seed=rc.get("seed", 0),
+        eval_channel=rc.get("eval_channel", 3) if is_25d else None,
         out_path=out_path,
     )
