@@ -43,6 +43,7 @@ class UNetConfig:
     groups: int = 8
     num_heads: int = 4
     use_attention: bool = False                # 3D bottleneck attention
+    remat: bool = False                        # res-block rematerialization
     compute_dtype: str = "bfloat16"
 
 
@@ -53,6 +54,7 @@ class VAEConfig:
     num_down: int = 3
     latent_channels: int = 16
     kl_weight: float = 1e-4
+    remat: bool = False
     compute_dtype: str = "bfloat16"
 
 

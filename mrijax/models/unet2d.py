@@ -53,6 +53,8 @@ class UNet2D(nn.Module):
     channel_mults: Sequence[int] = (1, 2, 4, 8)
     time_emb_dim: int = 256
     groups: int = 8
+    # rematerialize res blocks in the backward pass (jax.checkpoint)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -63,6 +65,10 @@ class UNet2D(nn.Module):
         z_pos: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        # explicit names keep the param tree identical whether or not the
+        # blocks are remat-wrapped (nn.remat would otherwise prefix names)
+        Res = nn.remat(ResBlock2D) if self.remat else ResBlock2D
+        rb = iter(range(100))
         chs = [self.base_channels * m for m in self.channel_mults]
 
         t_emb = TimeEmbedding(self.time_emb_dim, dtype=self.dtype)(t)
@@ -77,13 +83,13 @@ class UNet2D(nn.Module):
 
         skips = []
         for out_ch in chs[1:]:
-            h = ResBlock2D(out_ch, self.groups, dtype=self.dtype)(h, cond)
-            h = ResBlock2D(out_ch, self.groups, dtype=self.dtype)(h, cond)
+            h = Res(out_ch, self.groups, dtype=self.dtype, name=f"ResBlock2D_{next(rb)}")(h, cond)
+            h = Res(out_ch, self.groups, dtype=self.dtype, name=f"ResBlock2D_{next(rb)}")(h, cond)
             skips.append(h)
             h = Downsample(out_ch, spatial_rank=2, dtype=self.dtype)(h)
 
-        h = ResBlock2D(chs[-1], self.groups, dtype=self.dtype)(h, cond)
-        h = ResBlock2D(chs[-1], self.groups, dtype=self.dtype)(h, cond)
+        h = Res(chs[-1], self.groups, dtype=self.dtype, name=f"ResBlock2D_{next(rb)}")(h, cond)
+        h = Res(chs[-1], self.groups, dtype=self.dtype, name=f"ResBlock2D_{next(rb)}")(h, cond)
 
         for out_ch in reversed(chs[:-1]):
             skip = skips.pop()
@@ -91,8 +97,8 @@ class UNet2D(nn.Module):
             if h.shape[1:3] != skip.shape[1:3]:
                 h = resize_bilinear(h, skip.shape[1:3])
             h = jnp.concatenate([h, skip], axis=-1)
-            h = ResBlock2D(out_ch, self.groups, dtype=self.dtype)(h, cond)
-            h = ResBlock2D(out_ch, self.groups, dtype=self.dtype)(h, cond)
+            h = Res(out_ch, self.groups, dtype=self.dtype, name=f"ResBlock2D_{next(rb)}")(h, cond)
+            h = Res(out_ch, self.groups, dtype=self.dtype, name=f"ResBlock2D_{next(rb)}")(h, cond)
 
         h = GroupNormSiLU(self.groups)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(h)

@@ -50,10 +50,16 @@ class UNet3D(nn.Module):
     # over mesh axis ``sp_axis``); None = single-device attention
     sp_axis: Any = None
     mesh: Any = None
+    # rematerialize res blocks in the backward pass (trade FLOPs for HBM —
+    # enables bigger volumes/batches in training; jax.checkpoint)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        # explicit names keep the param tree identical with/without remat
+        Res = nn.remat(ResBlock3D) if self.remat else ResBlock3D
+        rb = iter(range(100))
         chs = [self.base_channels * m for m in self.channel_mults]
         num_levels = len(chs)
 
@@ -64,13 +70,13 @@ class UNet3D(nn.Module):
 
         skips = []
         for i, ch in enumerate(chs):
-            h = ResBlock3D(ch, self.groups, dtype=self.dtype)(h, t_emb)
-            h = ResBlock3D(ch, self.groups, dtype=self.dtype)(h, t_emb)
+            h = Res(ch, self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
+            h = Res(ch, self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
             skips.append(h)
             if i != num_levels - 1:
                 h = Downsample(chs[i + 1], spatial_rank=3, dtype=self.dtype)(h)
 
-        h = ResBlock3D(chs[-1], self.groups, dtype=self.dtype)(h, t_emb)
+        h = Res(chs[-1], self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
         if self.use_attention:
             h = AttentionBlock3D(
                 num_heads=self.num_heads,
@@ -80,7 +86,7 @@ class UNet3D(nn.Module):
                 sp_axis=self.sp_axis,
                 mesh=self.mesh,
             )(h)
-        h = ResBlock3D(chs[-1], self.groups, dtype=self.dtype)(h, t_emb)
+        h = Res(chs[-1], self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
 
         for i in reversed(range(num_levels)):
             ch = chs[i]
@@ -90,8 +96,8 @@ class UNet3D(nn.Module):
             if h.shape[1:4] != skip.shape[1:4]:
                 skip = center_crop_to(skip, h.shape[1:4])
             h = jnp.concatenate([h, skip], axis=-1)
-            h = ResBlock3D(ch, self.groups, dtype=self.dtype)(h, t_emb)
-            h = ResBlock3D(ch, self.groups, dtype=self.dtype)(h, t_emb)
+            h = Res(ch, self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
+            h = Res(ch, self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
 
         h = GroupNormSiLU(self.groups)(h)
         h = nn.Conv(self.in_channels, (3, 3, 3), padding=1, dtype=self.dtype)(h)

@@ -29,18 +29,23 @@ class Encoder3D(nn.Module):
     num_down: int = 3
     latent_channels: int = 8
     groups: int = 8
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
+        ResBlock = nn.remat(ResBlock3D) if self.remat else ResBlock3D
+        rb = iter(range(100))
         h = nn.Conv(self.base_channels, (3, 3, 3), padding=1, dtype=self.dtype)(
             x.astype(self.dtype)
         )
         cur = self.base_channels
         for i in range(self.num_down):
-            h = ResBlock3D(cur, self.groups, dtype=self.dtype)(h)
+            h = ResBlock(cur, self.groups, dtype=self.dtype,
+                         name=f"ResBlock3D_{next(rb)}")(h)
             if i != self.num_down - 1:
-                h = ResBlock3D(cur * 2, self.groups, dtype=self.dtype)(h)
+                h = ResBlock(cur * 2, self.groups, dtype=self.dtype,
+                             name=f"ResBlock3D_{next(rb)}")(h)
                 h = Downsample(cur * 2, spatial_rank=3, dtype=self.dtype)(h)
                 cur *= 2
         stats = nn.Conv(
@@ -56,18 +61,23 @@ class Decoder3D(nn.Module):
     base_channels: int = 32
     num_down: int = 3
     groups: int = 8
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        ResBlock = nn.remat(ResBlock3D) if self.remat else ResBlock3D
+        rb = iter(range(100))
         cur = self.base_channels * (2 ** (self.num_down - 1))
         h = nn.Conv(cur, (3, 3, 3), padding=1, dtype=self.dtype)(
             z.astype(self.dtype)
         )
         for i in reversed(range(self.num_down)):
-            h = ResBlock3D(cur, self.groups, dtype=self.dtype)(h)
+            h = ResBlock(cur, self.groups, dtype=self.dtype,
+                         name=f"ResBlock3D_{next(rb)}")(h)
             if i != 0:
-                h = ResBlock3D(cur // 2, self.groups, dtype=self.dtype)(h)
+                h = ResBlock(cur // 2, self.groups, dtype=self.dtype,
+                             name=f"ResBlock3D_{next(rb)}")(h)
                 h = Upsample(cur // 2, spatial_rank=3, dtype=self.dtype)(h)
                 cur //= 2
         h = nn.Conv(self.out_channels, (3, 3, 3), padding=1, dtype=self.dtype)(h)
@@ -80,6 +90,7 @@ class VAE3D(nn.Module):
     num_down: int = 3
     latent_channels: int = 8
     groups: int = 8
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -88,6 +99,7 @@ class VAE3D(nn.Module):
             num_down=self.num_down,
             latent_channels=self.latent_channels,
             groups=self.groups,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.decoder = Decoder3D(
@@ -95,6 +107,7 @@ class VAE3D(nn.Module):
             base_channels=self.base_channels,
             num_down=self.num_down,
             groups=self.groups,
+            remat=self.remat,
             dtype=self.dtype,
         )
 

@@ -79,6 +79,7 @@ def build_unet2d(cfg: UNetConfig) -> UNet2D:
         channel_mults=cfg.channel_mults,
         time_emb_dim=cfg.time_emb_dim,
         groups=cfg.groups,
+        remat=cfg.remat,
         dtype=_dtype(cfg.compute_dtype),
     )
 
@@ -95,6 +96,7 @@ def build_unet3d(cfg: UNetConfig, *, use_flash: Optional[bool] = None) -> UNet3D
         num_heads=cfg.num_heads,
         use_attention=cfg.use_attention,
         use_flash_attention=use_flash,
+        remat=cfg.remat,
         dtype=_dtype(cfg.compute_dtype),
     )
 
@@ -105,6 +107,7 @@ def build_vae3d(cfg: VAEConfig) -> VAE3D:
         base_channels=cfg.base_channels,
         num_down=cfg.num_down,
         latent_channels=cfg.latent_channels,
+        remat=cfg.remat,
         dtype=_dtype(cfg.compute_dtype),
     )
 

@@ -1,0 +1,62 @@
+"""Rematerialization: identical outputs/gradients, training runs."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mrijax.models import UNet2D, UNet3D, VAE3D
+
+
+def test_unet2d_remat_same_function():
+    kw = dict(in_channels=1, out_channels=1, base_channels=8,
+              channel_mults=(1, 2), time_emb_dim=16)
+    m0 = UNet2D(remat=False, **kw)
+    m1 = UNet2D(remat=True, **kw)
+    x = jnp.ones((2, 16, 16, 1))
+    t = jnp.zeros((2,), jnp.int32)
+    z = jnp.full((2,), 0.5)
+    p = m0.init(jax.random.PRNGKey(0), x, t, z)
+    # remat wrapping must not change the parameter tree nor the math
+    p1 = m1.init(jax.random.PRNGKey(0), x, t, z)
+    assert jax.tree.map(lambda a: a.shape, p) == jax.tree.map(lambda a: a.shape, p1)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply(p, x, t, z)), np.asarray(m1.apply(p, x, t, z)),
+        atol=1e-6,
+    )
+
+    def loss(params, model):
+        return jnp.sum(model.apply(params, x, t, z) ** 2)
+
+    g0 = jax.grad(lambda pp: loss(pp, m0))(p)
+    g1 = jax.grad(lambda pp: loss(pp, m1))(p)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_unet3d_and_vae_remat_grads_match():
+    ukw = dict(in_channels=4, base_channels=8, channel_mults=(1, 2),
+               time_emb_dim=16, use_attention=False)
+    u0 = UNet3D(remat=False, **ukw)
+    u1 = UNet3D(remat=True, **ukw)
+    x = jnp.ones((1, 8, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    p = u0.init(jax.random.PRNGKey(0), x, t)
+    g0 = jax.grad(lambda pp: jnp.sum(u0.apply(pp, x, t) ** 2))(p)
+    g1 = jax.grad(lambda pp: jnp.sum(u1.apply(pp, x, t) ** 2))(p)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    vkw = dict(in_channels=4, base_channels=8, num_down=2, latent_channels=4)
+    v0 = VAE3D(remat=False, **vkw)
+    v1 = VAE3D(remat=True, **vkw)
+    pv = v0.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+
+    def vloss(params, model):
+        recon, mu, logvar = model.apply(params, x, jax.random.PRNGKey(2))
+        return jnp.mean(jnp.abs(recon - x)) + jnp.mean(mu**2 + logvar**2)
+
+    g0 = jax.grad(lambda pp: vloss(pp, v0))(pv)
+    g1 = jax.grad(lambda pp: vloss(pp, v1))(pv)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
