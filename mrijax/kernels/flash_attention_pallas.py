@@ -44,11 +44,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, n, scale
     q = q_ref[0]  # (BLOCK_Q, Dh)
     k = k_ref[0]  # (BLOCK_K, Dh)
     v = v_ref[0]  # (BLOCK_K, Dh)
+    # fp32 inputs need the full-precision MXU pass (the default rounds
+    # operands to bf16 — measured ~8e-4 output error); bf16 inputs use the
+    # native single pass.
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
 
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     ) * scale  # (BLOCK_Q, BLOCK_K)
 
     # Mask padded KV positions (tail block only).
@@ -68,6 +74,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, n, scale
         p.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )  # (BLOCK_Q, Dh)
     acc_scr[:] = acc_scr[:] * alpha + pv
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
