@@ -26,9 +26,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_Q = 256
-BLOCK_K = 512
+# Defaults tuned on TPU v5e at N=51 200, Dh=32 (see PERF.md):
+# (256, 512) -> 10.9 TFLOP/s eff; (1024, 2048) -> 20.9; larger blocks exceed
+# VMEM. Small N uses smaller blocks to avoid padding waste (_pick_blocks).
+BLOCK_Q = 1024
+BLOCK_K = 2048
 NEG_INF = -1e30
+
+
+def _pick_blocks(n: int, block_q: int, block_k: int):
+    """Shrink blocks for short sequences (pad-to-block waste) while keeping
+    the tuned defaults for long ones. Blocks stay powers of two so the
+    padded length divides both."""
+    def shrink(b):
+        while b > 128 and b // 2 >= n:
+            b //= 2
+        return b
+
+    return shrink(block_q), shrink(block_k)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, n, scale):
@@ -88,6 +103,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, n, scale
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def _flash_forward(q, k, v, block_q=BLOCK_Q, block_k=BLOCK_K):
     b, n, h, d = q.shape
+    block_q, block_k = _pick_blocks(n, block_q, block_k)
     scale = d ** -0.5
     # (B, N, H, Dh) -> (B*H, N, Dh)
     def to_bh(x):
