@@ -192,3 +192,53 @@ def test_prefix_stripping_and_timestep_inference():
     assert infer_timesteps(sd) == 123
     wrapped = {"state_dict": sd}
     assert infer_timesteps(wrapped) == 123
+
+
+def test_full_ddim_chain_matches_torch_reference():
+    """End-to-end sampling-chain parity: the deterministic DDIM reverse
+    process (x0-prediction form, `ddpm_3d_ldm/diffusion.py:167-196`) run for
+    all steps through BOTH a torch twin and mrijax with converted weights
+    must produce the same final image from the same x_T."""
+    torch.manual_seed(3)
+    T = 20
+    mults = (1, 2)
+    tm = TorchRefUNet(img_channels=1, base=16, mults=mults, tdim=32).eval()
+    params = convert_reference_unet2d(
+        {f"model.{k}": v for k, v in tm.state_dict().items()},
+        channel_mults=mults,
+    )
+    fm = UNet2D(in_channels=1, out_channels=1, base_channels=16,
+                channel_mults=mults, time_emb_dim=32)
+
+    from mrijax.diffusion import (
+        GaussianDiffusion, linear_beta_schedule, make_schedule,
+    )
+
+    diffusion = GaussianDiffusion(make_schedule(linear_beta_schedule(T)))
+
+    rng = np.random.default_rng(3)
+    x_T = rng.normal(size=(1, 16, 16, 1)).astype(np.float32)
+    z = np.asarray([0.5], np.float32)
+
+    # --- torch twin: stride-1 DDIM from t = T-1 down to 1 (x0 form) ---
+    betas = torch.linspace(1e-4, 0.02, T, dtype=torch.float64)
+    acp = torch.cumprod(1.0 - betas, dim=0).float()
+    x = torch.tensor(x_T.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        for i in range(T - 1, 0, -1):
+            t = torch.tensor([i])
+            eps = tm(x, t, torch.tensor(z))
+            a_t, a_prev = acp[i], acp[i - 1]
+            x0 = (x - torch.sqrt(1 - a_t) * eps) / torch.sqrt(a_t)
+            x = torch.sqrt(a_prev) * x0 + torch.sqrt(1 - a_prev) * eps
+    out_t = x.numpy().transpose(0, 2, 3, 1)
+
+    # --- mrijax: one scan with the same weights and x_T ---
+    def model_fn(xx, tt):
+        return fm.apply(params, xx, tt, jnp.asarray(z))
+
+    out_j = np.asarray(
+        diffusion.ddim_sample(model_fn, x_T.shape, x_t=jnp.asarray(x_T),
+                              start_t=T - 1)
+    )
+    np.testing.assert_allclose(out_j, out_t, atol=5e-3)
