@@ -35,15 +35,14 @@ NEG_INF = -1e30
 
 
 def _pick_blocks(n: int, block_q: int, block_k: int):
-    """Shrink blocks for short sequences (pad-to-block waste) while keeping
-    the tuned defaults for long ones. Blocks stay powers of two so the
-    padded length divides both."""
-    def shrink(b):
-        while b > 128 and b // 2 >= n:
-            b //= 2
-        return b
-
-    return shrink(block_q), shrink(block_k)
+    """Short sequences use one block sized to N (rounded to the 128-lane
+    tile) — padding to the tuned long-sequence blocks would multiply the
+    work (e.g. the 800-token flagship bottleneck padded to 2048). Long
+    sequences keep the tuned defaults."""
+    if n <= 1024:
+        b = ((n + 127) // 128) * 128
+        return b, b
+    return block_q, block_k
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, n, scale):
