@@ -152,9 +152,13 @@ class Trainer:
             epoch_time = time.time() - t_epoch
 
             val_losses = []
-            if hasattr(self.val_loader, "set_epoch"):
-                self.val_loader.set_epoch(epoch)
-            for i, batch in enumerate(self.val_loader):
+            # SIGUSR1 gives a bounded grace window (SLURM sends it 600 s
+            # before the kill); spend it on the checkpoint, not on a
+            # validation pass — val_loss falls back to the train loss.
+            val_iter = () if preempted else self.val_loader
+            if hasattr(val_iter, "set_epoch"):
+                val_iter.set_epoch(epoch)
+            for i, batch in enumerate(val_iter):
                 if self.debug_max_steps is not None and i >= self.debug_max_steps:
                     break
                 key, sub = jax.random.split(key)

@@ -1,0 +1,95 @@
+"""Preemption: the trainer stops cleanly mid-epoch, checkpoints, skips the
+validation pass, and resumes from the saved state."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mrijax.io import CheckpointManager
+from mrijax.obs import reset_termination
+from mrijax.obs.signals import _handler
+from mrijax.train import Trainer, create_train_state
+
+
+class _ToyLoader:
+    """8 batches of (B, 4) data; set_epoch tracked."""
+
+    def __init__(self, n=8):
+        self.n = n
+        self.batch_size = 2
+        self.epochs_seen = []
+
+    def set_epoch(self, e):
+        self.epochs_seen.append(e)
+
+    def __iter__(self):
+        rng = np.random.default_rng(0)
+        for _ in range(self.n):
+            yield {"x": jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))}
+
+
+def _steps():
+    import flax.linen as nn
+
+    model = nn.Dense(1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+
+    def train_step(state, batch, key):
+        def loss_fn(p):
+            return jnp.mean(model.apply(p, batch["x"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    def eval_step(params, batch, key):
+        return jnp.mean(model.apply(params, batch["x"]) ** 2)
+
+    return params, train_step, eval_step
+
+
+def test_preemption_checkpoints_and_skips_validation(tmp_path):
+    reset_termination()
+    params, train_step, eval_step = _steps()
+    state = create_train_state(params, 1e-2)
+
+    eval_calls = []
+
+    def counting_eval(p, b, k):
+        eval_calls.append(1)
+        return eval_step(p, b, k)
+
+    loader = _ToyLoader()
+
+    class _PreemptingLoader(_ToyLoader):
+        def __iter__(self):
+            it = super().__iter__()
+            for i, b in enumerate(it):
+                if i == 3:
+                    _handler(10, None)  # simulate SIGUSR1 delivery
+                yield b
+
+    mgr = CheckpointManager(tmp_path / "ck")
+    trainer = Trainer(
+        train_step=train_step, eval_step=counting_eval,
+        train_loader=_PreemptingLoader(), val_loader=loader,
+        checkpoint_manager=mgr, epochs=5, seed=0,
+    )
+    result = trainer.fit(state)
+    assert result.preempted
+    assert result.epochs_run == 1          # stopped in the first epoch
+    assert eval_calls == []                # validation skipped
+    assert mgr.latest_step is not None     # checkpoint written
+    reset_termination()
+
+    # resume continues from the checkpoint (epoch counter advanced)
+    trainer2 = Trainer(
+        train_step=train_step, eval_step=counting_eval,
+        train_loader=_ToyLoader(), val_loader=_ToyLoader(),
+        checkpoint_manager=CheckpointManager(tmp_path / "ck"),
+        epochs=2, seed=0,
+    )
+    result2 = trainer2.fit(result.state)
+    assert not result2.preempted
+    assert trainer2.start_epoch == 1
+    mgr.close()
