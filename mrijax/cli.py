@@ -39,9 +39,14 @@ def _parse_set(values):
     return out
 
 
+def run_experiment_with_logger(cfg, logger):
+    from mrijax.train.experiments import run_experiment
+
+    return run_experiment(cfg, logger=logger)
+
+
 def cmd_train(args):
     from mrijax.config import PRESETS, ExperimentConfig, _apply_overrides
-    from mrijax.train.experiments import run_experiment
 
     if args.config:
         cfg = ExperimentConfig.from_json(args.config)
@@ -59,7 +64,17 @@ def cmd_train(args):
     run_dir.mkdir(parents=True, exist_ok=True)
     cfg.to_json(run_dir / "config.json")
     print(f"[cli] training {cfg.family}/{cfg.name} -> {run_dir}")
-    result = run_experiment(cfg)
+    # the reference wraps train() in the Perun profiler and logs the energy
+    # summary post-run (helpers/perun_utils.py:132-148); same shape here
+    from mrijax.obs import MetricsLogger, run_with_energy
+
+    logger = MetricsLogger(cfg.family, run_name=cfg.name)
+    try:
+        result = run_with_energy(
+            lambda: run_experiment_with_logger(cfg, logger), logger=logger
+        )
+    finally:
+        logger.finish()
     if isinstance(result, tuple):  # 3D two-stage: (vae, ldm, scale)
         vae_res, ldm_res, scale = result
         print(

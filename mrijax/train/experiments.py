@@ -191,6 +191,7 @@ def _default_mesh(cfg: ExperimentConfig):
 def train_slice_cond_2d(cfg: ExperimentConfig, mesh=None, logger=None) -> TrainerResult:
     install_signal_handlers()
     mesh = mesh or _default_mesh(cfg)
+    own_logger = logger is None
     logger = logger or MetricsLogger(cfg.family, run_name=cfg.name)
     logger.log_params(_flatten_cfg(cfg))
 
@@ -221,13 +222,15 @@ def train_slice_cond_2d(cfg: ExperimentConfig, mesh=None, logger=None) -> Traine
     )
     with mesh:
         result = trainer.fit(state)
-    logger.finish()
+    if own_logger:
+        logger.finish()
     return result
 
 
 def train_ddpm_25d(cfg: ExperimentConfig, mesh=None, logger=None) -> TrainerResult:
     install_signal_handlers()
     mesh = mesh or _default_mesh(cfg)
+    own_logger = logger is None
     logger = logger or MetricsLogger(cfg.family, run_name=cfg.name)
     logger.log_params(_flatten_cfg(cfg))
 
@@ -261,7 +264,8 @@ def train_ddpm_25d(cfg: ExperimentConfig, mesh=None, logger=None) -> TrainerResu
     )
     with mesh:
         result = trainer.fit(state)
-    logger.finish()
+    if own_logger:
+        logger.finish()
     return result
 
 
@@ -277,6 +281,7 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
     """
     install_signal_handlers()
     mesh = mesh or _default_mesh(cfg)
+    own_logger = logger is None
     logger = logger or MetricsLogger(cfg.family, run_name=cfg.name)
     logger.log_params(_flatten_cfg(cfg))
 
@@ -350,11 +355,12 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
     )
     with mesh:
         ldm_result = ldm_trainer.fit(ldm_state)
-    logger.finish()
+    if own_logger:
+        logger.finish()
     return vae_result, ldm_result, latent_scale
 
 
-def run_experiment(cfg: ExperimentConfig, mesh=None):
+def run_experiment(cfg: ExperimentConfig, mesh=None, logger=None):
     fn = {
         "slice_cond_2d": train_slice_cond_2d,
         "ddpm_25d": train_ddpm_25d,
@@ -362,7 +368,7 @@ def run_experiment(cfg: ExperimentConfig, mesh=None):
     }.get(cfg.family)
     if fn is None:
         raise ValueError(f"unknown family {cfg.family!r}")
-    return fn(cfg, mesh=mesh)
+    return fn(cfg, mesh=mesh, logger=logger)
 
 
 def _flatten_cfg(cfg: ExperimentConfig) -> dict:
