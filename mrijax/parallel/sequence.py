@@ -18,8 +18,6 @@ Composable inside jit via ``shard_map``; gradients flow (all_gather
 transposes to reduce-scatter automatically).
 """
 
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map

@@ -123,7 +123,6 @@ class Trainer:
             timer = StepTimer()
             losses = []
             t_epoch = time.time()
-            last_loss = None
             for i, batch in enumerate(self.train_loader):
                 if self.debug_max_steps is not None and i >= self.debug_max_steps:
                     break
@@ -132,7 +131,6 @@ class Trainer:
                 state, loss = self.train_step(state, batch, sub)
                 if isinstance(loss, dict):  # e.g. VAE step returns metrics
                     loss = loss["loss"]
-                last_loss = loss
                 timer.stop(block_on=loss)
                 losses.append(loss)  # device scalar; fetched at epoch end
                 self.global_step += 1
