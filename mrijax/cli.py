@@ -410,6 +410,66 @@ def cmd_import_torch(args):
     return 0
 
 
+def cmd_export(args):
+    """Export a run's best weights to a portable npz (torch-free single
+    file, the .pt-artifact analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrijax.io import save_params_npz
+    from mrijax.train.experiments import build_unet2d, build_unet3d, build_vae3d
+    from mrijax.train.state import create_train_state
+
+    cfg, run_dir = _load_run(args.run_dir)
+    s = cfg.data.image_size
+    out = Path(args.out)
+    if cfg.family in ("slice_cond_2d", "ddpm_25d"):
+        model = build_unet2d(cfg.unet)
+        x_ch = cfg.unet.out_channels
+        ctx_ch = cfg.unet.in_channels - x_ch
+        with jax.default_device(jax.devices("cpu")[0]):
+            zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if ctx_ch else ()
+            template = create_train_state(
+                model.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, x_ch)),
+                           jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
+                           *zeros_ctx),
+                cfg.train.learning_rate,
+            )
+        state, extra = _restore_params(run_dir, template)
+        save_params_npz(out, state.params,
+                        meta={"family": cfg.family, "config": cfg.to_dict(),
+                              **{k: v for k, v in extra.items()
+                                 if isinstance(v, (int, float, str))}})
+        print(f"[cli] exported {cfg.family} weights -> {out}")
+    elif cfg.family == "ddpm_3d_ldm":
+        vae = build_vae3d(cfg.vae)
+        unet_init = build_unet3d(cfg.unet, use_flash=False)
+        with jax.default_device(jax.devices("cpu")[0]):
+            vae_template = create_train_state(
+                vae.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 16, 16, 16, cfg.vae.in_channels)),
+                         jax.random.PRNGKey(1)),
+                cfg.vae_train.learning_rate,
+            )
+            unet_template = create_train_state(
+                unet_init.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8, 8, 8, cfg.vae.latent_channels)),
+                               jnp.zeros((1,), jnp.int32)),
+                cfg.train.learning_rate,
+            )
+        vae_state, _ = _restore_params(run_dir / "vae", vae_template)
+        ldm_state, extra = _restore_params(run_dir / "ldm", unet_template)
+        save_params_npz(out.with_suffix(".vae.npz"), vae_state.params,
+                        meta={"family": "vae3d", "config": cfg.to_dict()})
+        save_params_npz(out, ldm_state.params,
+                        meta={"family": cfg.family, "config": cfg.to_dict(),
+                              "latent_scale": float(extra.get("latent_scale", 1.0))})
+        print(f"[cli] exported LDM -> {out} and VAE -> {out.with_suffix('.vae.npz')}")
+    else:
+        raise SystemExit(f"unknown family {cfg.family!r}")
+    return 0
+
+
 def cmd_preprocess(args):
     from mrijax.data import pack_dataset
 
@@ -495,6 +555,11 @@ def build_parser():
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--out", default=None)
     e.set_defaults(fn=cmd_eval)
+
+    ex = sub.add_parser("export", help="export best weights to portable npz")
+    ex.add_argument("--run-dir", required=True)
+    ex.add_argument("--out", required=True)
+    ex.set_defaults(fn=cmd_export)
 
     it = sub.add_parser("import-torch",
                         help="convert a reference PyTorch checkpoint")

@@ -212,3 +212,40 @@ def test_cnifti_native_parity(brats_root):
         np.testing.assert_array_equal(b, nifti.load(p))
     with pytest.raises(IOError):
         cnifti.load(str(paths[0]) + ".missing")
+
+
+def test_loader_propagates_producer_errors(brats_root):
+    """Prefetch-thread exceptions must surface in the consumer."""
+    ds = SliceDataset2D(brats_root, image_size=16)
+
+    class _Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 0:
+                raise RuntimeError("decode exploded")
+
+    loader = BatchLoader(_Bad(), 4, prefetch=2)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        list(loader)
+
+
+def test_loader_drop_last_false_keeps_tail(brats_root):
+    ds = SliceDataset2D(brats_root, image_size=16)
+    n = len(ds)
+    bs = 7
+    loader = BatchLoader(ds, bs, drop_last=False, shuffle=False, prefetch=0)
+    batches = list(loader)
+    assert sum(b["image"].shape[0] for b in batches) == n
+    assert batches[-1]["image"].shape[0] == n % bs or n % bs == 0
+
+
+def test_take_subset_deterministic(brats_root):
+    from mrijax.data import take_subset
+
+    ds = SliceDataset2D(brats_root, image_size=16)
+    a = take_subset(ds, fraction=0.5, seed=7)
+    b = take_subset(ds, fraction=0.5, seed=7)
+    assert len(a) == len(ds) // 2
+    np.testing.assert_array_equal(a.indices, b.indices)

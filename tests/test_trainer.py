@@ -171,3 +171,19 @@ def test_params_npz_roundtrip(tmp_path):
         back["params"]["Dense_0"]["kernel"],
         np.arange(6.0).reshape(2, 3),
     )
+
+
+def test_training_is_seed_deterministic(brats_root, tmp_path):
+    """Same config + seed -> bit-identical loss trajectory."""
+    reset_termination()
+    losses = []
+    for run in range(2):
+        cfg = _tiny_2d_cfg(
+            brats_root, tmp_path,
+            **{"name": f"det{run}",
+               "train.checkpoint_dir": str(tmp_path / f"det{run}")},
+        )
+        cfg.train.resume = False
+        res = run_experiment(cfg)
+        losses.append(res.best_val_loss)
+    assert losses[0] == losses[1]
