@@ -43,6 +43,7 @@ class UNetConfig:
     groups: int = 8
     num_heads: int = 4
     use_attention: bool = False                # 3D bottleneck attention
+    attention_levels: Tuple[int, ...] = ()     # extra attention levels (3D)
     remat: bool = False                        # res-block rematerialization
     compute_dtype: str = "bfloat16"
 

@@ -45,6 +45,12 @@ class UNet3D(nn.Module):
     groups: int = 8
     num_heads: int = 4
     use_attention: bool = True
+    # extra attention at the listed resolution levels (0 = full latent
+    # resolution) on both the down and up paths — the capability the
+    # reference lacks (its quadratic-memory attention is confined to the
+    # bottleneck); feasible here thanks to the flash kernel and, across
+    # chips, sequence-parallel sharding (sp_axis).
+    attention_levels: Sequence[int] = ()
     use_flash_attention: bool = True
     # sequence parallelism for the bottleneck attention (token axis sharded
     # over mesh axis ``sp_axis``); None = single-device attention
@@ -68,10 +74,19 @@ class UNet3D(nn.Module):
             x.astype(self.dtype)
         )
 
+        def attn(name):
+            return AttentionBlock3D(
+                num_heads=self.num_heads, groups=self.groups, dtype=self.dtype,
+                use_flash=self.use_flash_attention, sp_axis=self.sp_axis,
+                mesh=self.mesh, name=name,
+            )
+
         skips = []
         for i, ch in enumerate(chs):
             h = Res(ch, self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
             h = Res(ch, self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
+            if i in self.attention_levels:
+                h = attn(f"DownAttn_{i}")(h)
             skips.append(h)
             if i != num_levels - 1:
                 h = Downsample(chs[i + 1], spatial_rank=3, dtype=self.dtype)(h)
@@ -98,6 +113,8 @@ class UNet3D(nn.Module):
             h = jnp.concatenate([h, skip], axis=-1)
             h = Res(ch, self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
             h = Res(ch, self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
+            if i in self.attention_levels:
+                h = attn(f"UpAttn_{i}")(h)
 
         h = GroupNormSiLU(self.groups)(h)
         h = nn.Conv(self.in_channels, (3, 3, 3), padding=1, dtype=self.dtype)(h)

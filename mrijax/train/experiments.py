@@ -95,6 +95,7 @@ def build_unet3d(cfg: UNetConfig, *, use_flash: Optional[bool] = None) -> UNet3D
         groups=cfg.groups,
         num_heads=cfg.num_heads,
         use_attention=cfg.use_attention,
+        attention_levels=cfg.attention_levels,
         use_flash_attention=use_flash,
         remat=cfg.remat,
         dtype=_dtype(cfg.compute_dtype),

@@ -135,3 +135,25 @@ def test_bf16_compute_dtype_runs():
     out = model.apply(params, x, t, z)
     assert out.dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_unet3d_multilevel_attention():
+    """Attention at higher resolution levels (the flash-kernel-enabled
+    superset of the reference's bottleneck-only attention)."""
+    import jax
+    import jax.numpy as jnp
+    from mrijax.models import UNet3D
+
+    m = UNet3D(in_channels=4, base_channels=8, channel_mults=(1, 2),
+               time_emb_dim=16, num_heads=2, use_attention=True,
+               attention_levels=(0, 1), use_flash_attention=False)
+    x = jnp.ones((1, 8, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    p = m.init(jax.random.PRNGKey(0), x, t)
+    names = set(p["params"].keys())
+    assert {"DownAttn_0", "DownAttn_1", "UpAttn_0", "UpAttn_1",
+            "AttentionBlock3D_0"} <= names
+    out = m.apply(p, x, t)
+    assert out.shape == x.shape
+    g = jax.grad(lambda pp: float(0) + jnp.sum(m.apply(pp, x, t) ** 2))(p)
+    assert all(jnp.isfinite(l).all() for l in jax.tree.leaves(g))
