@@ -195,4 +195,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the axon tunnel occasionally fails to initialize when another process
+    # held it moments ago; retry before giving up
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except RuntimeError as e:
+            if "axon" in str(e) and attempt < 2:
+                print(f"# backend init failed ({e}); retrying in 30s",
+                      file=__import__("sys").stderr)
+                time.sleep(30)
+                continue
+            raise
