@@ -13,10 +13,12 @@ attention to the 800-token bottleneck (full-latent N = 51 200 works):
   bf16.
 * tail KV blocks from padding are masked with -inf before the softmax.
 
-Backward pass: gradients are computed by re-running the exact chunked-query
-XLA attention under ``jax.vjp`` (memory-safe recompute). A fused Pallas
-backward kernel is a planned optimization; the forward dominates sampling,
-which is the headline benchmark.
+Backward pass: fused Pallas kernels in the standard flash-bwd form — the
+forward additionally saves the per-row logsumexp; the backward recomputes
+p = exp(s − lse) blockwise and accumulates
+dV = pᵀ dO, dS = p∘(dO Vᵀ − Δ)·scale (Δ = rowsum(dO∘O)), dK = dSᵀ Q,
+dQ = dS K over two passes (KV-major for dK/dV, Q-major for dQ). O(N·block)
+memory like the forward; fp32 accumulators; padded rows/cols masked.
 """
 
 import functools
@@ -45,7 +47,15 @@ def _pick_blocks(n: int, block_q: int, block_k: int):
     return block_q, block_k
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, n, scale):
+# Backward blocks are smaller: the (block_q × block_k) fp32 probability and
+# score temporaries live in registers/VMEM alongside two (block, d)
+# accumulators.
+BWD_BLOCK_Q = 512
+BWD_BLOCK_K = 512
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                  *, n, scale):
     kv_idx = pl.program_id(2)
     block_k = k_ref.shape[1]
 
@@ -96,27 +106,45 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, n, scale
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
-        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        l_safe = jnp.maximum(l_scr[:, :1], 1e-30)  # padded q rows have l=0
+        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, :1] + jnp.log(l_safe)
+
+
+def _to_bh(x):
+    b, n, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+
+
+def _from_bh(x, b, h):
+    bh, n, d = x.shape
+    return x.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+def _pad_n(x, np_):
+    return jnp.pad(x, ((0, 0), (0, np_ - x.shape[1]), (0, 0)))
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
 def _flash_forward(q, k, v, block_q=BLOCK_Q, block_k=BLOCK_K):
+    out, _ = _flash_forward_lse(q, k, v, block_q=block_q, block_k=block_k)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_forward_lse(q, k, v, block_q=BLOCK_Q, block_k=BLOCK_K):
+    """Returns (out (B,N,H,Dh), lse (B*H, N, 1) fp32)."""
     b, n, h, d = q.shape
     block_q, block_k = _pick_blocks(n, block_q, block_k)
     scale = d ** -0.5
-    # (B, N, H, Dh) -> (B*H, N, Dh)
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
 
-    qf, kf, vf = to_bh(q), to_bh(k), to_bh(v)
-    n_pad = (-n) % max(block_q, block_k)
-    if n_pad:
-        pad = ((0, 0), (0, n_pad), (0, 0))
-        qf, kf, vf = (jnp.pad(x, pad) for x in (qf, kf, vf))
-    np_ = qf.shape[1]
+    qf, kf, vf = _to_bh(q), _to_bh(k), _to_bh(v)
+    np_ = n + ((-n) % max(block_q, block_k))
+    if np_ != n:
+        qf, kf, vf = (_pad_n(x, np_) for x in (qf, kf, vf))
     grid = (b * h, np_ // block_q, np_ // block_k)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, n=n, scale=scale),
         grid=grid,
         in_specs=[
@@ -127,9 +155,16 @@ def _flash_forward(q, k, v, block_q=BLOCK_Q, block_k=BLOCK_K):
             pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, np_, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, np_, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, np_, 1), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),  # running max
             pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
@@ -143,8 +178,169 @@ def _flash_forward(q, k, v, block_q=BLOCK_Q, block_k=BLOCK_K):
         ),
     )(qf, kf, vf)
 
-    out = out[:, :n].reshape(b, h, n, d).transpose(0, 2, 1, 3)
-    return out
+    return _from_bh(out[:, :n], b, h), lse[:, :n]
+
+
+def _bwd_masks(q_start, k_start, bq, bk, n):
+    row = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0) + q_start
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + k_start
+    return (row < n).astype(jnp.float32), (col < n)
+
+
+def _p_block(q, k, lse, q_start, k_start, n, scale, prec):
+    """Recompute the (bq, bk) probability block from saved lse; padded rows
+    and columns are zeroed."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * scale
+    row_mask, col_mask = _bwd_masks(q_start, k_start, q.shape[0], k.shape[0], n)
+    p = jnp.exp(s - lse) * row_mask
+    return jnp.where(col_mask, p, 0.0)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, n, scale):
+    ki, qi = pl.program_id(1), pl.program_id(2)
+    bq, bk = q_ref.shape[1], k_ref.shape[1]
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]      # (bq, 1) f32
+    delta = delta_ref[0]  # (bq, 1) f32
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
+
+    p = _p_block(q, k, lse, qi * bq, ki * bk, n, scale, prec)  # (bq, bk)
+    # dV += pᵀ dO
+    dv_scr[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    # dS = p ∘ (dO Vᵀ − Δ) · scale
+    dp = jax.lax.dot_general(
+        do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    ds = p * (dp - delta) * scale
+    # dK += dSᵀ Q
+    dk_scr[:] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(qi == pl.num_programs(2) - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, dq_scr, *, n, scale):
+    qi, ki = pl.program_id(1), pl.program_id(2)
+    bq, bk = q_ref.shape[1], k_ref.shape[1]
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
+
+    p = _p_block(q, k, lse, qi * bq, ki * bk, n, scale, prec)
+    dp = jax.lax.dot_general(
+        do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    ds = p * (dp - delta) * scale
+    dq_scr[:] += jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_backward(q, k, v, out, lse, g, block_q=BWD_BLOCK_Q,
+                    block_k=BWD_BLOCK_K):
+    b, n, h, d = q.shape
+    block_q, block_k = _pick_blocks(n, block_q, block_k)
+    scale = d ** -0.5
+
+    qf, kf, vf = _to_bh(q), _to_bh(k), _to_bh(v)
+    of, gf = _to_bh(out), _to_bh(g)
+    # Δ = rowsum(dO ∘ O), fp32
+    delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+
+    np_ = n + ((-n) % max(block_q, block_k))
+    if np_ != n:
+        qf, kf, vf, gf = (_pad_n(x, np_) for x in (qf, kf, vf, gf))
+        lse = _pad_n(lse, np_)
+        delta = _pad_n(delta, np_)
+    bh = b * h
+    nq, nk = np_ // block_q, np_ // block_k
+
+    qspec = pl.BlockSpec((1, block_q, d), lambda i, a, b_: (i, b_, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, block_k, d), lambda i, a, b_: (i, a, 0),
+                         memory_space=pltpu.VMEM)
+    r1q = pl.BlockSpec((1, block_q, 1), lambda i, a, b_: (i, b_, 0),
+                       memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, n=n, scale=scale),
+        grid=(bh, nk, nq),
+        in_specs=[qspec, kspec, kspec, qspec, r1q, r1q],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda i, a, b_: (i, a, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, a, b_: (i, a, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, np_, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, np_, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )(qf, kf, vf, gf, lse, delta)
+
+    qspec2 = pl.BlockSpec((1, block_q, d), lambda i, a, b_: (i, a, 0),
+                          memory_space=pltpu.VMEM)
+    kspec2 = pl.BlockSpec((1, block_k, d), lambda i, a, b_: (i, b_, 0),
+                          memory_space=pltpu.VMEM)
+    r1q2 = pl.BlockSpec((1, block_q, 1), lambda i, a, b_: (i, a, 0),
+                        memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, n=n, scale=scale),
+        grid=(bh, nq, nk),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, r1q2, r1q2],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, a, b_: (i, a, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, np_, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(qf, kf, vf, gf, lse, delta)
+
+    return (_from_bh(dq[:, :n], b, h), _from_bh(dk[:, :n], b, h),
+            _from_bh(dv[:, :n], b, h))
 
 
 @jax.custom_vjp
@@ -154,15 +350,13 @@ def flash_attention_pallas(q, k, v):
 
 
 def _fwd(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+    out, lse = _flash_forward_lse(q, k, v)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(res, g):
-    from mrijax.kernels.flash_attention import _chunked_attention_xla
-
-    q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: _chunked_attention_xla(a, b, c), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _flash_backward(q, k, v, out, lse, g)
 
 
 flash_attention_pallas.defvjp(_fwd, _bwd)

@@ -45,3 +45,32 @@ def test_flash_gradients_flow():
     for gi in g:
         assert np.all(np.isfinite(np.asarray(gi)))
         assert float(jnp.abs(gi).sum()) > 0
+
+
+def test_pallas_fwd_and_bwd_match_xla_interpret():
+    """Pallas forward AND the fused Pallas backward vs the XLA reference, in
+    interpreter mode (covers lse save, Δ, dq/dk/dv kernels, padding masks)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mrijax.kernels.flash_attention_pallas import flash_attention_pallas
+
+    q, k, v = _rand_qkv(jax.random.key(3), b=1, n=300, h=2, d=16)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_attention_pallas(q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_chunked_attention_xla(q, k, v, q_chunk=128) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        out_p = flash_attention_pallas(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(_chunked_attention_xla(q, k, v)),
+        rtol=1e-5, atol=1e-5,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
