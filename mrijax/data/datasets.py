@@ -40,22 +40,17 @@ from mrijax.data.preprocess import (
 
 def _zscore_nonzero_np(x: np.ndarray, eps: float = 1e-6) -> np.ndarray:
     """Numpy twin of ``preprocess.zscore_nonzero`` for host-side per-sample
-    transforms (masked in-place z-score, clip ±5, → [-1, 1])."""
+    transforms: z-score over the brain mask (nonzero voxels), clip to ±5σ,
+    rescale to [-1, 1]. An all-zero sample degenerates to the plain z-score
+    over everything, which maps zeros to zeros — so the statistics can
+    simply be taken over the full array in that case."""
     x = x.astype(np.float32).copy()
-    mask = x != 0
-    if mask.any():
-        vals = x[mask]
-        mean = vals.mean()
-        std = vals.std()
-        if std < eps:
-            std = 1.0
-        x[mask] = (x[mask] - mean) / std
-    else:
-        mean = x.mean()
-        std = x.std()
-        if std < eps:
-            std = 1.0
-        x = (x - mean) / std
+    sel = x != 0
+    if not sel.any():
+        sel = np.ones_like(sel)
+    vals = x[sel]
+    std = vals.std()
+    x[sel] = (vals - vals.mean()) / (std if std >= eps else 1.0)
     np.clip(x, -5.0, 5.0, out=x)
     return x / 5.0
 
@@ -249,10 +244,18 @@ class VolumeDataset3D:
         self.patch_size = tuple(patch_size)
         self.random_crop = random_crop
         self.modalities = tuple(modalities)
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         self.cases = self._find_cases()
         if not self.cases:
             raise ValueError(f"no complete BraTS cases under {root_dir}")
+
+    def set_epoch(self, epoch: int) -> None:
+        """Crops are seeded per (seed, epoch, index): reproducible across
+        resume, and identical for a given global sample on every process
+        (multi-host workers each decode a different subset of rows, so a
+        shared mutable stream would desynchronize from sample identity)."""
+        self.epoch = epoch
 
     def _find_cases(self):
         cases = []
@@ -277,7 +280,10 @@ class VolumeDataset3D:
             chans.append(_zscore_nonzero_np(vol))
         vol = np.stack(chans, axis=0)  # (4, D, H, W)
         vol = pad_volume_to_min(vol, self.patch_size)
-        vol = crop_volume(
-            vol, self.patch_size, rng=self._rng if self.random_crop else None
+        rng = (
+            np.random.default_rng((self.seed, self.epoch, idx))
+            if self.random_crop
+            else None
         )
+        vol = crop_volume(vol, self.patch_size, rng=rng)
         return {"volume": np.moveaxis(vol, 0, -1)}  # (D, H, W, 4)

@@ -75,6 +75,15 @@ class BatchLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        # propagate to datasets with per-epoch state (e.g. VolumeDataset3D
+        # crop seeding) — including through subset/split views
+        ds = self.dataset
+        seen = set()
+        while ds is not None and id(ds) not in seen:
+            seen.add(id(ds))
+            if hasattr(ds, "set_epoch"):
+                ds.set_epoch(epoch)
+            ds = getattr(ds, "dataset", None)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -100,7 +109,14 @@ class BatchLoader:
         pc, pi = jax.process_count(), jax.process_index()
         if pc == 1:
             return chunk
-        per = len(chunk) // pc
+        per, rem = divmod(len(chunk), pc)
+        if rem:
+            raise ValueError(
+                f"global batch of {len(chunk)} rows is not divisible by "
+                f"process_count={pc}; pick a batch size that is a multiple "
+                "of the process count (rows would otherwise be dropped "
+                "silently)"
+            )
         return chunk[pi * per : (pi + 1) * per]
 
     def _materialize(self, chunk: np.ndarray):

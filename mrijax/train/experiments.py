@@ -14,7 +14,6 @@ all devices replaces both DataParallel and DDP/NCCL; pass ``mesh=None`` to
 build one automatically.
 """
 
-import itertools
 from pathlib import Path
 from typing import Optional
 
@@ -338,14 +337,16 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
     )
     ldm_eval = make_latent_diffusion_eval_step(unet, vae, diffusion)
     t_grid = fixed_validation_timesteps(cfg.diffusion.timesteps, 8)
-    counter = itertools.count()
 
     def train_step(state, batch, key):
         return ldm_step(state, vae_params, batch, key, latent_scale)
 
-    def eval_step(params, batch, key):
-        # fixed-timestep validation grid, cycled per batch (train.py:446-458)
-        t_fixed = t_grid[next(counter) % len(t_grid)]
+    def eval_step(params, batch, key, batch_index=0):
+        # fixed-timestep validation grid, cycled per batch and realigned
+        # every epoch (train.py:446-458) — the Trainer supplies the
+        # per-epoch batch_index, so every epoch validates on the same
+        # timestep alignment regardless of the number of val batches.
+        t_fixed = t_grid[batch_index % len(t_grid)]
         return ldm_eval(params, vae_params, batch, key, latent_scale, t_fixed)
 
     ldm_trainer = _trainer(

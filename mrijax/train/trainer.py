@@ -22,6 +22,7 @@ The driver is family-agnostic: ``train_step(state, batch, key) →
 injected; batches come from any ``BatchLoader``.
 """
 
+import inspect
 import time
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -70,6 +71,11 @@ class Trainer:
     ):
         self.train_step = train_step
         self.eval_step = eval_step
+        # eval_step may take a per-epoch batch index (fixed-timestep val
+        # grids, ddpm_3d_ldm/train.py:446-458, must realign every epoch)
+        self._eval_takes_index = "batch_index" in inspect.signature(
+            eval_step
+        ).parameters
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.logger = logger
@@ -160,14 +166,24 @@ class Trainer:
                 if self.debug_max_steps is not None and i >= self.debug_max_steps:
                     break
                 key, sub = jax.random.split(key)
-                vl = self.eval_step(_params_of(state), batch, sub)
+                if self._eval_takes_index:
+                    vl = self.eval_step(_params_of(state), batch, sub, batch_index=i)
+                else:
+                    vl = self.eval_step(_params_of(state), batch, sub)
                 if isinstance(vl, dict):
                     vl = vl["loss"]
                 val_losses.append(_scalar(vl))
+            # Validation skipped by the preemption grace window must not
+            # drive LR/early-stop/best-checkpoint decisions — a low train
+            # loss would overwrite best/ with a never-validated state. (An
+            # always-empty val loader is different: there the train-loss
+            # fallback is the run's only consistent signal, so it keeps
+            # driving the schedulers as before.)
+            trust_val = bool(val_losses) or not preempted
             val_loss = float(np.mean(val_losses)) if val_losses else train_loss
 
             lr = get_learning_rate(state)
-            new_lr = self.scheduler.update(val_loss, lr)
+            new_lr = self.scheduler.update(val_loss, lr) if trust_val else lr
             if new_lr != lr:
                 state = set_learning_rate(state, new_lr)
                 print(f"[trainer] plateau: lr {lr:.2e} -> {new_lr:.2e}")
@@ -184,7 +200,7 @@ class Trainer:
                 f"val {val_loss:.4f} ({timer.steps_per_s:.2f} steps/s)"
             )
 
-            stop = self.stopper.update(val_loss)
+            stop = self.stopper.update(val_loss) if trust_val else False
             if self.ckpt is not None:
                 extra = {
                     "epoch": epoch,
@@ -197,7 +213,8 @@ class Trainer:
                     **self.checkpoint_extra(),
                 }
                 self.ckpt.save(
-                    self.global_step, state, extra, metrics={"val_loss": val_loss}
+                    self.global_step, state, extra,
+                    metrics={"val_loss": val_loss} if trust_val else {},
                 )
             if preempted:
                 print("[trainer] termination requested; stopping cleanly")

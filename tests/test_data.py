@@ -249,3 +249,40 @@ def test_take_subset_deterministic(brats_root):
     b = take_subset(ds, fraction=0.5, seed=7)
     assert len(a) == len(ds) // 2
     np.testing.assert_array_equal(a.indices, b.indices)
+
+
+def test_volume_crop_seeded_per_epoch_and_index(brats_root):
+    """Crops must be a pure function of (seed, epoch, index): reproducible
+    across dataset instances (resume) and independent of decode order
+    (multi-host)."""
+    kw = dict(patch_size=(16, 16, 16), random_crop=True, seed=3)
+    a = VolumeDataset3D(brats_root, **kw)
+    b = VolumeDataset3D(brats_root, **kw)
+    # same (epoch=0, idx) -> identical crop, regardless of access order
+    _ = b[1]
+    np.testing.assert_array_equal(a[0]["volume"], b[0]["volume"])
+    # a different epoch draws a different crop (volume is larger than patch)
+    a.set_epoch(1)
+    assert not np.array_equal(a[0]["volume"], b[0]["volume"])
+    # a fresh instance at the same epoch reproduces it
+    b.set_epoch(1)
+    np.testing.assert_array_equal(a[0]["volume"], b[0]["volume"])
+
+
+def test_loader_propagates_set_epoch_through_views(brats_root):
+    from mrijax.data import split_dataset
+
+    ds = VolumeDataset3D(brats_root, patch_size=(16, 16, 16), random_crop=True)
+    train, _ = split_dataset(ds, val_fraction=0.34, seed=0)
+    loader = BatchLoader(train, 1, shuffle=False, drop_last=False, prefetch=0)
+    loader.set_epoch(5)
+    assert ds.epoch == 5
+
+
+def test_loader_rejects_indivisible_multihost_batch(brats_root, monkeypatch):
+    ds = SliceDataset2D(brats_root, image_size=16)
+    loader = BatchLoader(ds, 8, shuffle=False, drop_last=True, prefetch=0)
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    with pytest.raises(ValueError, match="not divisible by"):
+        next(iter(loader))

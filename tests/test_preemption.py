@@ -93,3 +93,69 @@ def test_preemption_checkpoints_and_skips_validation(tmp_path):
     assert not result2.preempted
     assert trainer2.start_epoch == 1
     mgr.close()
+
+
+def test_preemption_does_not_pollute_best_checkpoint(tmp_path):
+    """A preempted epoch skips validation; its train-loss fallback must not
+    enter the best-by-val tracker (a low train loss would otherwise
+    overwrite best/ with a never-validated state)."""
+    reset_termination()
+    params, train_step, eval_step = _steps()
+    state = create_train_state(params, 1e-2)
+
+    def high_eval(p, b, k):
+        return jnp.asarray(1.0)  # real validation says "bad"
+
+    def low_train(state, batch, key):
+        new_state, _ = train_step(state, batch, key)
+        return new_state, jnp.asarray(1e-4)  # train loss looks great
+
+    mgr = CheckpointManager(tmp_path / "ck")
+    t1 = Trainer(
+        train_step=low_train, eval_step=high_eval,
+        train_loader=_ToyLoader(), val_loader=_ToyLoader(),
+        checkpoint_manager=mgr, epochs=1, seed=0,
+    )
+    r1 = t1.fit(state)
+    best_before = mgr.best_step
+    assert best_before is not None
+
+    class _PreemptingLoader(_ToyLoader):
+        def __iter__(self):
+            for i, b in enumerate(super().__iter__()):
+                if i == 2:
+                    _handler(10, None)
+                yield b
+
+    t2 = Trainer(
+        train_step=low_train, eval_step=high_eval,
+        train_loader=_PreemptingLoader(), val_loader=_ToyLoader(),
+        checkpoint_manager=CheckpointManager(tmp_path / "ck"), epochs=3, seed=0,
+    )
+    r2 = t2.fit(r1.state)
+    assert r2.preempted
+    assert mgr.best_step == best_before  # best/ untouched by the fallback
+    mgr.close()
+    reset_termination()
+
+
+def test_eval_step_receives_per_epoch_batch_index(tmp_path):
+    """eval_step(..., batch_index=i) gets the index within the epoch's val
+    pass, restarting at 0 every epoch (fixed-timestep grid alignment,
+    ddpm_3d_ldm/train.py:446-458)."""
+    reset_termination()
+    params, train_step, eval_step = _steps()
+    state = create_train_state(params, 1e-2)
+    seen = []
+
+    def indexed_eval(p, b, k, batch_index=0):
+        seen.append(batch_index)
+        return eval_step(p, b, k)
+
+    trainer = Trainer(
+        train_step=train_step, eval_step=indexed_eval,
+        train_loader=_ToyLoader(n=2), val_loader=_ToyLoader(n=3),
+        epochs=2, seed=0,
+    )
+    trainer.fit(state)
+    assert seen == [0, 1, 2, 0, 1, 2]
