@@ -267,7 +267,13 @@ def cmd_eval(args):
 
     from mrijax import generate
     from mrijax.data import BatchLoader, SliceDataset2D, volume_split_indices
-    from mrijax.evals import FeatureExtractor, evaluate_conditional_2d
+    from mrijax.evals import (
+        FeatureExtractor,
+        InceptionFeatureExtractor,
+        LPIPSDistance,
+        ResNet18FeatureExtractor,
+        evaluate_conditional_2d,
+    )
     from mrijax.train.experiments import build_diffusion, build_unet2d
     from mrijax.train.state import create_train_state
 
@@ -334,11 +340,29 @@ def cmd_eval(args):
             return diffusion.ddim_sample(model_fn, shape, k, num_steps=args.ddim_steps)
         return diffusion.p_sample_loop(model_fn, shape, k)
 
+    # pretrained extractors (converted via `mrijax convert-features`) give
+    # real FID/KID/LPIPS/PR; without them the seeded-random extractor is
+    # used and every metric carries the _rand suffix
+    if args.inception_weights:
+        fe = InceptionFeatureExtractor(weights_path=args.inception_weights)
+    else:
+        fe = FeatureExtractor()
+    lpips = (
+        LPIPSDistance(weights_path=args.lpips_weights)
+        if args.lpips_weights else None
+    )
+    pr_fe = (
+        ResNet18FeatureExtractor(weights_path=args.resnet18_weights)
+        if args.resnet18_weights else None
+    )
+
     out = Path(args.out or run_dir / "eval" / "metrics.json")
     report = evaluate_conditional_2d(
         sample_fn,
         iter(loader),
-        feature_extractor=FeatureExtractor(),
+        feature_extractor=fe,
+        pr_feature_extractor=pr_fe,
+        lpips=lpips,
         num_samples=args.num_samples,
         num_diversity_pairs=args.diversity_pairs,
         compute_pr=args.pr,
@@ -350,6 +374,46 @@ def cmd_eval(args):
                       if not isinstance(v, dict)}, indent=2))
     print(f"[cli] wrote {out}")
     return 0
+
+
+def cmd_convert_features(args):
+    """Convert a torch feature-backbone state_dict (torchvision
+    inception_v3/resnet18, or lpips alex) to a portable flax npz for
+    ``mrijax eval`` — recovers the reference's real ImageNet metrics
+    (`evaluation_scripts/evaluate_models.py:82-131`,
+    `slice_cond_2d_ddpm/metrics.py:147-229,329-343,419-443`)."""
+    import torch
+
+    from mrijax.io import save_params_npz
+    from mrijax.io.torch_convert import (
+        convert_inception_v3,
+        convert_lpips_alex,
+        convert_resnet18,
+    )
+
+    sd = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    convert = {
+        "inception_v3": convert_inception_v3,
+        "resnet18": convert_resnet18,
+        "lpips_alex": convert_lpips_alex,
+    }[args.arch]
+    params = convert(sd)
+    save_params_npz(args.out, params, meta={"arch": args.arch})
+    n = sum(1 for _ in _iter_leaves(params))
+    print(f"[cli] converted {args.arch}: {n} tensors -> {args.out}")
+    return 0
+
+
+def _iter_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _iter_leaves(v)
+    else:
+        yield tree
 
 
 def cmd_import_torch(args):
@@ -554,12 +618,28 @@ def build_parser():
                    help="channel scored for multichannel (2.5D) models (3=FLAIR)")
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--out", default=None)
+    e.add_argument("--inception-weights", default=None,
+                   help="npz from `convert-features --arch inception_v3` → real FID/KID")
+    e.add_argument("--lpips-weights", default=None,
+                   help="npz from `convert-features --arch lpips_alex` → real LPIPS diversity")
+    e.add_argument("--resnet18-weights", default=None,
+                   help="npz from `convert-features --arch resnet18` → real improved PR")
     e.set_defaults(fn=cmd_eval)
 
     ex = sub.add_parser("export", help="export best weights to portable npz")
     ex.add_argument("--run-dir", required=True)
     ex.add_argument("--out", required=True)
     ex.set_defaults(fn=cmd_export)
+
+    cf = sub.add_parser(
+        "convert-features",
+        help="torch inception_v3/resnet18/lpips weights -> flax npz for eval",
+    )
+    cf.add_argument("--checkpoint", required=True, help=".pth state_dict")
+    cf.add_argument("--arch", required=True,
+                    choices=["inception_v3", "resnet18", "lpips_alex"])
+    cf.add_argument("--out", required=True, help="output npz path")
+    cf.set_defaults(fn=cmd_convert_features)
 
     it = sub.add_parser("import-torch",
                         help="convert a reference PyTorch checkpoint")

@@ -6,7 +6,14 @@ Dice/HD95, and a streaming matched-condition harness reproducing the
 reference's metrics.json protocol.
 """
 
-from mrijax.evals.features import FeatureExtractor, ConvFeatureNet
+from mrijax.evals.features import (
+    ConvFeatureNet,
+    FeatureExtractor,
+    InceptionFeatureExtractor,
+    LPIPSDistance,
+    ResNet18FeatureExtractor,
+)
+from mrijax.evals.backbones import AlexNetFeatures, InceptionV3, LPIPS, ResNet18
 from mrijax.evals.frechet import (
     FidAccumulator,
     frechet_distance,
@@ -29,6 +36,13 @@ from mrijax.evals.multi import evaluate_runs
 __all__ = [
     "FeatureExtractor",
     "ConvFeatureNet",
+    "InceptionFeatureExtractor",
+    "ResNet18FeatureExtractor",
+    "LPIPSDistance",
+    "InceptionV3",
+    "ResNet18",
+    "AlexNetFeatures",
+    "LPIPS",
     "FidAccumulator",
     "frechet_distance",
     "fid_from_features",

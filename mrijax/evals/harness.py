@@ -7,11 +7,15 @@ Protocol parity with `slice_cond_2d_ddpm/metrics.py:232-523` /
 * stream real test slices; for each real batch, sample fakes at the SAME
   z conditions; update global + per-z-bin (8 bins over [0,1]) FID/KID
   accumulators;
-* diversity: pairs of independent generations at the same z → SSIM (and
-  MS-SSIM when the resolution allows 5 scales) + feature-space cosine
-  distance (stand-in for LPIPS — no pretrained AlexNet offline, labeled
-  ``feat_dist`` in the report);
-* optional improved precision/recall on pooled features;
+* diversity: pairs of independent generations at the same z → SSIM, plus
+  AlexNet-LPIPS when an ``lpips`` distance is supplied (metrics.py:419-443)
+  — otherwise a feature-space cosine stand-in labeled ``feat_dist``;
+* optional improved precision/recall, on ResNet18 features when a
+  ``pr_feature_extractor`` is supplied (metrics.py:147-229), else on the
+  FID features;
+* metric names carry the extractor's ``metric_suffix``: "" for converted
+  ImageNet weights (``fid``/``kid`` comparable to BASELINE.md), "_rand"
+  for the offline seeded-random extractor;
 * memorization stats of fakes vs a real pool;
 * writes ``metrics.json`` with the reference's key layout.
 
@@ -46,6 +50,8 @@ def evaluate_conditional_2d(
     real_iter,
     *,
     feature_extractor: Optional[FeatureExtractor] = None,
+    pr_feature_extractor=None,
+    lpips=None,
     num_samples: int = 1000,
     num_diversity_pairs: int = 64,
     compute_pr: bool = False,
@@ -66,6 +72,7 @@ def evaluate_conditional_2d(
     ``eval_channel`` (`metrics_both.py:178-189`).
     """
     fe = feature_extractor or FeatureExtractor()
+    sfx = getattr(fe, "metric_suffix", "_rand")
     key = jax.random.PRNGKey(seed)
 
     def select(img):
@@ -114,18 +121,18 @@ def evaluate_conditional_2d(
     report: dict = {"num_samples": n_seen, "protocol": "matched-z streaming"}
     mu_r, cov_r = global_real.stats()
     mu_f, cov_f = global_fake.stats()
-    report["fid_rand"] = frechet_distance(mu_r, cov_r, mu_f, cov_f)
+    report[f"fid{sfx}"] = frechet_distance(mu_r, cov_r, mu_f, cov_f)
     rfa = np.concatenate(real_feats_all)
     ffa = np.concatenate(fake_feats_all)
     kid_mean, kid_std = kid_from_features(
         rfa, ffa, subset_size=min(1000, n_seen), num_subsets=100, seed=seed
     )
-    report["kid_rand_mean"], report["kid_rand_std"] = kid_mean, kid_std
+    report[f"kid{sfx}_mean"], report[f"kid{sfx}_std"] = kid_mean, kid_std
 
-    report["fid_rand_per_z_bin"] = {}
+    report[f"fid{sfx}_per_z_bin"] = {}
     for b in range(NUM_Z_BINS):
         if bin_real[b].n >= 2 and bin_fake[b].n >= 2:
-            report["fid_rand_per_z_bin"][str(b)] = frechet_distance(
+            report[f"fid{sfx}_per_z_bin"][str(b)] = frechet_distance(
                 *bin_real[b].stats(), *bin_fake[b].stats()
             )
 
@@ -138,17 +145,34 @@ def evaluate_conditional_2d(
         s = np.asarray(ssim(g1, g2))
         report["diversity_ssim_mean"] = float(s.mean())
         report["diversity_ssim_std"] = float(s.std())
-        f1, f2 = np.asarray(fe(g1)), np.asarray(fe(g2))
-        cos = np.sum(f1 * f2, axis=1) / np.maximum(
-            np.linalg.norm(f1, axis=1) * np.linalg.norm(f2, axis=1), 1e-12
-        )
-        report["diversity_feat_dist_mean"] = float((1 - cos).mean())
-        report["diversity_feat_dist_std"] = float((1 - cos).std())
+        if lpips is not None:
+            lsfx = "" if getattr(lpips, "is_pretrained", False) else "_rand"
+            d = np.asarray(lpips(g1, g2))
+            report[f"diversity_lpips{lsfx}_mean"] = float(d.mean())
+            report[f"diversity_lpips{lsfx}_std"] = float(d.std())
+        else:
+            f1, f2 = np.asarray(fe(g1)), np.asarray(fe(g2))
+            cos = np.sum(f1 * f2, axis=1) / np.maximum(
+                np.linalg.norm(f1, axis=1) * np.linalg.norm(f2, axis=1), 1e-12
+            )
+            report["diversity_feat_dist_mean"] = float((1 - cos).mean())
+            report["diversity_feat_dist_std"] = float((1 - cos).std())
 
     if compute_pr:
-        p, r = improved_precision_recall(rfa, ffa)
-        report["improved_precision"] = p
-        report["improved_recall"] = r
+        if pr_feature_extractor is not None:
+            # re-embed the pools with the PR extractor (ResNet18 features,
+            # metrics.py:147-229) — PR runs on a different feature space
+            # than FID by design
+            prf = pr_feature_extractor
+            rfa_pr = prf.embed_batched(np.concatenate(real_pool))
+            ffa_pr = prf.embed_batched(np.concatenate(fake_pool))
+            p, r = improved_precision_recall(rfa_pr, ffa_pr)
+            psfx = getattr(prf, "metric_suffix", "_rand")
+        else:
+            p, r = improved_precision_recall(rfa, ffa)
+            psfx = sfx
+        report[f"improved_precision{psfx}"] = p
+        report[f"improved_recall{psfx}"] = r
 
     fakes = np.concatenate(fake_pool)[:memorization_pool]
     reals = np.concatenate(real_pool)[:memorization_pool]

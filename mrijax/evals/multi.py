@@ -43,10 +43,14 @@ def evaluate_runs(
         crumb.write_text(f"started {time.ctime()}\n")
         try:
             report = _evaluate_one(rc, fe, out_dir / f"{name}.metrics.json")
+            headline = ("fid", "kid_mean", "diversity_ssim_mean",
+                        "diversity_lpips_mean", "improved_precision",
+                        "improved_recall", "num_samples")
             summary[name] = {
-                k: report.get(k)
-                for k in ("fid_rand", "kid_rand_mean", "diversity_ssim_mean",
-                          "improved_precision", "improved_recall", "num_samples")
+                k: report[k]
+                for k in report
+                # keep both pretrained ("fid") and labeled ("fid_rand") forms
+                if k in headline or k.replace("_rand", "") in headline
             }
         except Exception as e:  # noqa: BLE001 — keep evaluating other models
             summary[name] = {"error": f"{type(e).__name__}: {e}"}

@@ -230,5 +230,6 @@ def test_harness_end_to_end(tmp_path):
     assert rep_good["fid_rand"] < rep_bad["fid_rand"]
     assert (tmp_path / "metrics.json").exists()
     for k in ("fid_rand", "kid_rand_mean", "fid_rand_per_z_bin",
-              "diversity_ssim_mean", "improved_precision", "memorization"):
+              "diversity_ssim_mean", "improved_precision_rand",
+              "memorization"):
         assert k in rep_good
