@@ -3,19 +3,33 @@
 The reference has no long-sequence parallelism (SURVEY.md §5) — it
 *compresses* (VAE latents, one bottleneck attention). mrijax reproduces the
 compression and adds the sharding axis the reference lacks: the bottleneck's
-token axis (N = D·H·W = 51 200 at flagship latent resolution) can be sharded
-over a ``model`` mesh axis:
+token axis (N = D·H·W = 51 200 at flagship latent resolution) is SPLIT over
+a ``model`` mesh axis so each device computes N/d query rows of the N²
+attention — the quadratic work divides by d while everything around the
+bottleneck stays pure data parallelism.
 
-* each device holds N/d query tokens;
-* K/V are small (N × C = 51 200 × 128 ≈ 13 MB bf16), so one ``all_gather``
-  over ICI per attention — not a ring — is the right collective at this
-  scale: the gather is ~100× cheaper than the N²/d logits each device
-  computes;
-* the local attention core is the Pallas flash kernel (or the chunked XLA
-  fallback on CPU).
+Layout contract (load-bearing): activations enter and leave batch-sharded
+over ``data`` and REPLICATED over ``model`` — the same layout every conv in
+the network uses. The shard_map's in/out specs equal the ambient sharding,
+so the partitioner never reshards across the attention boundary. The
+earlier formulation (reshard to token-sharded ``P(data, model)`` at the
+boundary) hit an XLA GSPMD miscompilation on jax 0.9.0: with a residual
+fork around the attention, upstream parameter gradients came back scaled by
+exactly the data-axis size (verified against finite differences;
+regression-tested in tests/test_multidevice_equivalence.py).
 
-Composable inside jit via ``shard_map``; gradients flow (all_gather
-transposes to reduce-scatter automatically).
+Inside the body, each device
+
+* slices ITS token chunk of q by ``axis_index`` (K/V are already local —
+  no gather in the forward),
+* runs the flash kernel (Pallas on TPU / chunked XLA elsewhere) on
+  (N/d × N) scores,
+* all_gathers output chunks over ``model`` (N·C bf16 ≈ 13 MB at flagship —
+  ~100× cheaper than the N²/d logits each device computes).
+
+The backward is an explicit custom_vjp shard_map (chunk VJP, all_gather dq
+chunks, psum dK/dV over ``model``) rather than shard_map's automatic
+transpose, for the same partitioner robustness reason.
 """
 
 import jax
@@ -26,24 +40,75 @@ from mrijax.kernels.flash_attention import flash_attention
 
 
 def sequence_parallel_attention(
-    q, k, v, *, mesh: Mesh, axis: str = "model", impl: str = "auto"
+    q, k, v, *, mesh: Mesh, axis: str = "model", impl: str = "auto",
+    batch_axis: str = "data",
 ):
-    """Multi-head attention with the token axis sharded over ``axis``.
+    """Multi-head attention with the token-axis WORK split over ``axis``.
 
-    q, k, v: (B, N, H, Dh) global arrays; returns (B, N, H, Dh) sharded the
-    same way. N must be divisible by the axis size.
+    q, k, v: (B, N, H, Dh) arrays, batch-sharded over ``batch_axis`` (or
+    replicated) and replicated over ``axis`` — the network's ambient layout.
+    Returns (B, N, H, Dh) in the same layout. N must be divisible by the
+    ``axis`` size.
     """
     n = q.shape[1]
     d = mesh.shape[axis]
     if n % d != 0:
         raise ValueError(f"token axis {n} not divisible by mesh axis {axis}={d}")
+    chunk = n // d
+    b_axis = (
+        batch_axis
+        if batch_axis in mesh.shape
+        and mesh.shape[batch_axis] > 1
+        and q.shape[0] % mesh.shape[batch_axis] == 0
+        else None
+    )
+    # b_axis=None (batch replicated over the data axis) happens for
+    # flax-init and odd-batch sampling, both forward-only: the inputs are
+    # ambient-replicated there, so the specs still match the ambient layout
+    # and no resharding occurs. Training batches are always divisible
+    # (shard_batch enforces it), so the batch stays sharded over `data`.
+    spec = P(b_axis, None, None, None)  # tokens full, replicated over `axis`
 
-    def local_attn(ql, kl, vl):
-        k_full = jax.lax.all_gather(kl, axis, axis=1, tiled=True)
-        v_full = jax.lax.all_gather(vl, axis, axis=1, tiled=True)
-        return flash_attention(ql, k_full, v_full, impl=impl)
+    def my_chunk(x):
+        idx = jax.lax.axis_index(axis)
+        return jax.lax.dynamic_slice_in_dim(x, idx * chunk, chunk, axis=1)
 
-    spec = P(None, axis, None, None)
-    return shard_map(
-        local_attn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
-    )(q, k, v)
+    def local_fwd(ql, kl, vl):
+        out_chunk = flash_attention(my_chunk(ql), kl, vl, impl=impl)
+        return jax.lax.all_gather(out_chunk, axis, axis=1, tiled=True)
+
+    def local_bwd(ql, kl, vl, dol):
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: flash_attention(q_, k_, v_, impl=impl),
+            my_chunk(ql), kl, vl,
+        )
+        dq_chunk, dk, dv = vjp(my_chunk(dol))
+        dq = jax.lax.all_gather(dq_chunk, axis, axis=1, tiled=True)
+        # every device computed dK/dV contributions from its query chunk
+        dk = jax.lax.psum(dk, axis)
+        dv = jax.lax.psum(dv, axis)
+        return dq, dk, dv
+
+    # check_vma=False: the checker cannot infer that a tiled all_gather over
+    # `axis` leaves the result replicated across `axis` (it does, by
+    # construction); gradients do not rely on the automatic transpose —
+    # they are explicit in sp_attn_bwd.
+    @jax.custom_vjp
+    def sp_attn(q, k, v):
+        return shard_map(
+            local_fwd, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+            check_vma=False,
+        )(q, k, v)
+
+    def sp_attn_fwd(q, k, v):
+        return sp_attn(q, k, v), (q, k, v)
+
+    def sp_attn_bwd(res, do):
+        q, k, v = res
+        return shard_map(
+            local_bwd, mesh=mesh, in_specs=(spec,) * 4,
+            out_specs=(spec,) * 3, check_vma=False,
+        )(q, k, v, do)
+
+    sp_attn.defvjp(sp_attn_fwd, sp_attn_bwd)
+    return sp_attn(q, k, v)
