@@ -535,13 +535,21 @@ def cmd_export(args):
 
 
 def cmd_preprocess(args):
-    from mrijax.data import pack_dataset
+    from mrijax.data import pack_dataset, pack_multimodal_slices, pack_volumes
 
-    index = pack_dataset(
-        args.root_dir, args.output_dir,
-        image_size=args.image_size, modality_suffix=args.modality_suffix,
-    )
-    print(f"[cli] packed {len(index['files'])} volumes -> {args.output_dir}")
+    if args.family == "2d":
+        index = pack_dataset(
+            args.root_dir, args.output_dir,
+            image_size=args.image_size, modality_suffix=args.modality_suffix,
+        )
+    elif args.family == "25d":
+        index = pack_multimodal_slices(
+            args.root_dir, args.output_dir, image_size=args.image_size
+        )
+    else:  # 3d
+        index = pack_volumes(args.root_dir, args.output_dir)
+    print(f"[cli] packed {len(index['files'])} volumes "
+          f"({args.family}) -> {args.output_dir}")
     return 0
 
 
@@ -651,9 +659,12 @@ def build_parser():
     it.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
     it.set_defaults(fn=cmd_import_torch)
 
-    pp = sub.add_parser("preprocess", help="pack slices into npz shards")
+    pp = sub.add_parser("preprocess", help="pack data into npz shards")
     pp.add_argument("--root-dir", required=True)
     pp.add_argument("--output-dir", required=True)
+    pp.add_argument("--family", default="2d", choices=["2d", "25d", "3d"],
+                    help="2d: FLAIR slices; 25d: multimodal slice stacks; "
+                         "3d: normalized full volumes")
     pp.add_argument("--image-size", type=int, default=128)
     pp.add_argument("--modality-suffix", default="_flair.nii.gz")
     pp.set_defaults(fn=cmd_preprocess)

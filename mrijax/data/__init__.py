@@ -17,7 +17,14 @@ from mrijax.data.datasets import (
 )
 from mrijax.data.loader import BatchLoader, take_subset, split_dataset, epoch_permutation
 from mrijax.data.split import split_subjects, apply_split, volume_split_indices
-from mrijax.data.packing import pack_dataset, PackedSliceDataset
+from mrijax.data.packing import (
+    PackedMultiModalDataset25D,
+    PackedSliceDataset,
+    PackedVolumeDataset,
+    pack_dataset,
+    pack_multimodal_slices,
+    pack_volumes,
+)
 
 __all__ = [
     "nifti",
@@ -39,5 +46,9 @@ __all__ = [
     "apply_split",
     "volume_split_indices",
     "pack_dataset",
+    "pack_volumes",
+    "pack_multimodal_slices",
     "PackedSliceDataset",
+    "PackedVolumeDataset",
+    "PackedMultiModalDataset25D",
 ]

@@ -14,6 +14,20 @@ slices (`preprocessed_dataset.py:9-75`). Here:
   JSON read instead of N file opens.
 * ``PackedSliceDataset`` — map-style reader over the packed shards with an
   LRU of open arrays; yields the same sample dict as ``SliceDataset2D``.
+
+Volume (3D) and multimodal (2.5D) packing — beyond the reference's 2D-only
+offline path (SURVEY §7 step 3): at flagship batch sizes, decoding 4 NIfTI
+volumes per sample per epoch on the host starves the chip, so the
+decode+normalize work moves offline:
+
+* ``pack_volumes`` / ``PackedVolumeDataset`` — per-case normalized
+  (C, D, H, W) float32 volumes; the reader applies the same pad +
+  per-(seed, epoch, index) crop as ``VolumeDataset3D`` (bit-identical
+  samples, tested).
+* ``pack_multimodal_slices`` / ``PackedMultiModalDataset25D`` — per-subject
+  preprocessed slice stacks (N, S, S, 4) over the radius-0 central range
+  (which exactly covers every center+context slice any radius needs); the
+  reader assembles center + dz-major/modality-minor context by slicing.
 """
 
 import json
@@ -124,3 +138,201 @@ class PackedSliceDataset:
             "image": data["slices"][slice_idx][:, :, None],
             "z_pos": np.float32(data["z_pos"][slice_idx]),
         }
+
+
+# ------------------------------------------------------------- 3D volumes
+
+
+def pack_volumes(root_dir, output_dir, *, modalities=None) -> dict:
+    """Decode + normalize every complete BraTS case into one ``.npz`` of
+    shape (C, D, H, W) float32 (the decode/normalize half of
+    ``VolumeDataset3D.__getitem__``; pad/crop stay in the reader because the
+    crop is per-epoch random)."""
+    from mrijax.data.datasets import (
+        MODALITIES_3D,
+        VolumeDataset3D,
+        _zscore_nonzero_np,
+        load_volume,
+    )
+
+    modalities = tuple(modalities or MODALITIES_3D)
+    root_dir, output_dir = Path(root_dir), Path(output_dir)
+    finder = VolumeDataset3D.__new__(VolumeDataset3D)
+    finder.root_dir = root_dir
+    finder.modalities = modalities
+    cases = finder._find_cases()
+    if not cases:
+        raise RuntimeError(f"no complete BraTS cases under {root_dir}")
+    index = {"kind": "volumes3d", "modalities": list(modalities), "files": []}
+    for case_paths in cases:
+        chans = []
+        for p in case_paths:
+            vol = load_volume(p)
+            if vol.ndim == 4:
+                vol = vol[..., 0]
+            chans.append(_zscore_nonzero_np(np.transpose(vol, (2, 0, 1))))
+        packed = np.stack(chans, axis=0)  # (C, D, H, W)
+        rel = Path(case_paths[0]).relative_to(root_dir)
+        out_path = (output_dir / rel).with_suffix("").with_suffix(".npz")
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(out_path, volume=packed)
+        index["files"].append(
+            {"path": str(out_path.relative_to(output_dir)),
+             "shape": list(packed.shape)}
+        )
+    (output_dir / "index.json").write_text(json.dumps(index, indent=1))
+    return index
+
+
+class PackedVolumeDataset:
+    """Reader over ``pack_volumes`` output; samples bit-identical to
+    ``VolumeDataset3D`` (same pad + per-(seed, epoch, index) crop)."""
+
+    def __init__(self, packed_dir, patch_size=(128, 160, 160), *,
+                 random_crop: bool = True, seed: int = 0, cache_size: int = 2):
+        self.packed_dir = Path(packed_dir)
+        index = json.loads((self.packed_dir / "index.json").read_text())
+        if index.get("kind") != "volumes3d":
+            raise ValueError(f"{packed_dir} is not a pack_volumes directory")
+        self.files = [f["path"] for f in index["files"]]
+        self.patch_size = tuple(patch_size)
+        self.random_crop = random_crop
+        self.seed = seed
+        self.epoch = 0
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._cache_size = cache_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self):
+        return len(self.files)
+
+    def _load(self, idx: int) -> np.ndarray:
+        if idx in self._cache:
+            self._cache.move_to_end(idx)
+            return self._cache[idx]
+        with np.load(self.packed_dir / self.files[idx]) as z:
+            vol = z["volume"]
+        self._cache[idx] = vol
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return vol
+
+    def __getitem__(self, idx: int):
+        from mrijax.data.preprocess import crop_volume, pad_volume_to_min
+
+        vol = pad_volume_to_min(self._load(idx), self.patch_size)
+        rng = (
+            np.random.default_rng((self.seed, self.epoch, idx))
+            if self.random_crop
+            else None
+        )
+        vol = crop_volume(vol, self.patch_size, rng=rng)
+        return {"volume": np.moveaxis(vol, 0, -1)}  # (D, H, W, C)
+
+
+# ---------------------------------------------------------- 2.5D multimodal
+
+
+def pack_multimodal_slices(
+    root_dir, output_dir, *, image_size: int = 128, use_device: bool = True
+) -> dict:
+    """Per-subject preprocessed slice stacks (N, S, S, 4) over the radius-0
+    central range — the union of every center/context slice any
+    ``slice_radius`` needs (0.1·D + r − r = 0.1·D)."""
+    from mrijax.data.datasets import MODALITY_SUFFIXES_25D, preprocess_slice_np
+
+    root_dir, output_dir = Path(root_dir), Path(output_dir)
+    flair_suffix = "_flair.nii.gz"
+    paths = sorted(root_dir.rglob(f"*{flair_suffix}"))
+    if not paths:
+        raise RuntimeError(f"no FLAIR volumes under {root_dir}")
+    index = {"kind": "multimodal25d", "image_size": image_size, "files": []}
+    for flair_path in paths:
+        mod_paths = [
+            Path(str(flair_path).replace(flair_suffix, sfx))
+            for sfx in MODALITY_SUFFIXES_25D
+        ]
+        if not all(p.exists() for p in mod_paths):
+            continue
+        vols = [nifti.load(p) for p in mod_paths]
+        depth = vols[0].shape[-1]
+        zs = np.asarray(list(central_slice_range(depth)), dtype=np.int64)
+        per_mod = []
+        for vol in vols:
+            raw = np.moveaxis(vol[:, :, zs], -1, 0)  # (N, H, W)
+            if use_device:
+                from mrijax.data.preprocess import preprocess_slice_batch
+
+                per_mod.append(np.asarray(preprocess_slice_batch(raw, image_size)))
+            else:
+                per_mod.append(
+                    np.stack([preprocess_slice_np(s, image_size) for s in raw])
+                )
+        slices = np.stack(per_mod, axis=-1).astype(np.float32)  # (N, S, S, 4)
+        rel = flair_path.relative_to(root_dir)
+        out_path = (output_dir / rel).with_suffix("").with_suffix(".npz")
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(out_path, slices=slices, zs=zs, depth=np.int64(depth))
+        index["files"].append(
+            {"path": str(out_path.relative_to(output_dir)),
+             "depth": int(depth), "z_start": int(zs[0]), "num_slices": int(len(zs))}
+        )
+    if not index["files"]:
+        raise RuntimeError(f"no complete multimodal subjects under {root_dir}")
+    (output_dir / "index.json").write_text(json.dumps(index, indent=1))
+    return index
+
+
+class PackedMultiModalDataset25D:
+    """Reader over ``pack_multimodal_slices``; samples bit-identical to
+    ``MultiModalSliceDataset25D`` (center (S,S,4) + dz-major/modality-minor
+    context (S,S,4·2r), z_pos = z/(D−1))."""
+
+    def __init__(self, packed_dir, slice_radius: int = 2, cache_size: int = 4):
+        self.packed_dir = Path(packed_dir)
+        index = json.loads((self.packed_dir / "index.json").read_text())
+        if index.get("kind") != "multimodal25d":
+            raise ValueError(f"{packed_dir} is not a pack_multimodal_slices dir")
+        self.image_size = index["image_size"]
+        self.slice_radius = slice_radius
+        self.files = index["files"]
+        self.index_tuples = []
+        for fi, f in enumerate(self.files):
+            for z in central_slice_range(f["depth"], radius=slice_radius):
+                self.index_tuples.append((fi, z))
+        self._cache: "OrderedDict[int, dict]" = OrderedDict()
+        self._cache_size = cache_size
+
+    @property
+    def context_channels(self) -> int:
+        return 4 * 2 * self.slice_radius
+
+    def __len__(self):
+        return len(self.index_tuples)
+
+    def _load(self, fi: int) -> dict:
+        if fi in self._cache:
+            self._cache.move_to_end(fi)
+            return self._cache[fi]
+        with np.load(self.packed_dir / self.files[fi]["path"]) as z:
+            data = {"slices": z["slices"], "z_start": int(z["zs"][0]),
+                    "depth": int(z["depth"])}
+        self._cache[fi] = data
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return data
+
+    def __getitem__(self, idx: int):
+        fi, z = self.index_tuples[idx]
+        data = self._load(fi)
+        pos = z - data["z_start"]
+        r = self.slice_radius
+        center = data["slices"][pos]  # (S, S, 4)
+        context = np.concatenate(
+            [data["slices"][pos + dz] for dz in range(-r, r + 1) if dz != 0],
+            axis=-1,
+        )  # (S, S, 4·2r), dz-major then modality
+        z_pos = np.float32(z / (data["depth"] - 1))
+        return {"image": center, "context": context, "z_pos": z_pos}

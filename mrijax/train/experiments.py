@@ -24,7 +24,9 @@ from mrijax.config import DiffusionConfig, ExperimentConfig, TrainConfig, UNetCo
 from mrijax.data import (
     BatchLoader,
     MultiModalSliceDataset25D,
+    PackedMultiModalDataset25D,
     PackedSliceDataset,
+    PackedVolumeDataset,
     SliceDataset2D,
     VolumeDataset3D,
     split_dataset,
@@ -235,7 +237,10 @@ def train_ddpm_25d(cfg: ExperimentConfig, mesh=None, logger=None) -> TrainerResu
     logger.log_params(_flatten_cfg(cfg))
 
     d = cfg.data
-    dataset = MultiModalSliceDataset25D(d.root_dir, d.image_size, d.slice_radius)
+    if d.packed_dir:
+        dataset = PackedMultiModalDataset25D(d.packed_dir, d.slice_radius)
+    else:
+        dataset = MultiModalSliceDataset25D(d.root_dir, d.image_size, d.slice_radius)
     train_loader, val_loader = _make_loaders(cfg, dataset, mesh)
 
     model = build_unet2d(cfg.unet)
@@ -286,7 +291,10 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
     logger.log_params(_flatten_cfg(cfg))
 
     d = cfg.data
-    dataset = VolumeDataset3D(d.root_dir, d.patch_size, random_crop=True)
+    if d.packed_dir:
+        dataset = PackedVolumeDataset(d.packed_dir, d.patch_size, random_crop=True)
+    else:
+        dataset = VolumeDataset3D(d.root_dir, d.patch_size, random_crop=True)
     train_loader, val_loader = _make_loaders(cfg, dataset, mesh)
 
     vae = build_vae3d(cfg.vae)

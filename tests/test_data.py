@@ -286,3 +286,62 @@ def test_loader_rejects_indivisible_multihost_batch(brats_root, monkeypatch):
     monkeypatch.setattr(jax, "process_index", lambda: 0)
     with pytest.raises(ValueError, match="not divisible by"):
         next(iter(loader))
+
+
+def test_pack_volumes_bit_identical(brats_root, tmp_path):
+    from mrijax.data import PackedVolumeDataset, pack_volumes
+
+    out = tmp_path / "packed3d"
+    index = pack_volumes(brats_root, out)
+    assert index["kind"] == "volumes3d" and index["files"]
+
+    direct = VolumeDataset3D(brats_root, patch_size=(16, 16, 16),
+                             random_crop=True, seed=5)
+    packed = PackedVolumeDataset(out, patch_size=(16, 16, 16),
+                                 random_crop=True, seed=5)
+    assert len(direct) == len(packed)
+    for epoch in (0, 3):
+        direct.set_epoch(epoch)
+        packed.set_epoch(epoch)
+        for i in range(len(direct)):
+            np.testing.assert_array_equal(
+                direct[i]["volume"], packed[i]["volume"]
+            )
+    # center-crop (val) path too
+    d2 = VolumeDataset3D(brats_root, patch_size=(16, 16, 16), random_crop=False)
+    p2 = PackedVolumeDataset(out, patch_size=(16, 16, 16), random_crop=False)
+    np.testing.assert_array_equal(d2[0]["volume"], p2[0]["volume"])
+
+
+def test_pack_multimodal_bit_identical(brats_root, tmp_path):
+    from mrijax.data import PackedMultiModalDataset25D, pack_multimodal_slices
+
+    out = tmp_path / "packed25d"
+    index = pack_multimodal_slices(brats_root, out, image_size=16,
+                                   use_device=False)
+    assert index["kind"] == "multimodal25d"
+
+    direct = MultiModalSliceDataset25D(brats_root, 16, slice_radius=1)
+    packed = PackedMultiModalDataset25D(out, slice_radius=1)
+    assert len(direct) == len(packed)
+    assert packed.context_channels == direct.context_channels
+    for i in (0, len(direct) // 2, len(direct) - 1):
+        a, b = direct[i], packed[i]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["context"], b["context"])
+        assert a["z_pos"] == b["z_pos"]
+
+
+def test_pack_multimodal_device_host_agree(brats_root, tmp_path):
+    from mrijax.data import pack_multimodal_slices
+
+    a = pack_multimodal_slices(brats_root, tmp_path / "dev", image_size=16,
+                               use_device=True)
+    pack_multimodal_slices(brats_root, tmp_path / "host", image_size=16,
+                           use_device=False)
+    for f in a["files"]:
+        with np.load(tmp_path / "dev" / f["path"]) as zd, \
+             np.load(tmp_path / "host" / f["path"]) as zh:
+            # same tolerance as the 2D device/host agreement test (fp32
+            # reassociation in the jitted resize)
+            np.testing.assert_allclose(zd["slices"], zh["slices"], atol=2e-5)
