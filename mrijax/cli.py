@@ -376,6 +376,75 @@ def cmd_eval(args):
     return 0
 
 
+def cmd_eval_seg(args):
+    """Dice + HD95 per BraTS label between predicted and reference
+    segmentation label maps (NIfTI), matched by filename when directories
+    are given (`evaluation_scripts/evaluate_models.py:473-549`)."""
+    import numpy as np
+
+    from mrijax.data import nifti
+    from mrijax.evals import BRATS_LABELS, dice_per_label, hd95_per_label
+
+    pred, target = Path(args.pred), Path(args.target)
+    if pred.is_dir() != target.is_dir():
+        raise SystemExit("--pred and --target must both be files or both dirs")
+    if pred.is_dir():
+        pairs = []
+        for p in sorted(pred.rglob("*.nii*")):
+            t = target / p.relative_to(pred)
+            if t.exists():
+                pairs.append((p, t))
+        if not pairs:
+            raise SystemExit(f"no matching label maps between {pred} and {target}")
+    else:
+        pairs = [(pred, target)]
+
+    labels = tuple(args.labels or BRATS_LABELS)
+    spacing = tuple(args.voxelspacing) if args.voxelspacing else None
+    per_case = {}
+    for p, t in pairs:
+        pv = np.rint(nifti.load(p)).astype(np.int32)
+        tv = np.rint(nifti.load(t)).astype(np.int32)
+        per_case[p.name] = {
+            "dice": dice_per_label(pv, tv, labels),
+            "hd95": hd95_per_label(pv, tv, labels, spacing=spacing),
+        }
+    def finite_mean(vals):
+        vals = [v for v in vals if np.isfinite(v)]
+        return float(np.mean(vals)) if vals else None
+
+    def jsonable(v):
+        return float(v) if np.isfinite(v) else None  # inf: label absent
+
+    report = {
+        "labels": list(labels),
+        "num_cases": len(per_case),
+        "mean_dice": {
+            str(l): float(np.mean([c["dice"][l] for c in per_case.values()]))
+            for l in labels
+        },
+        "mean_hd95": {
+            str(l): finite_mean([c["hd95"][l] for c in per_case.values()])
+            for l in labels
+        },
+        "per_case": {
+            name: {"dice": {str(l): v for l, v in c["dice"].items()},
+                   "hd95": {str(l): jsonable(v) for l, v in c["hd95"].items()}}
+            for name, c in per_case.items()
+        },
+    }
+    out = json.dumps(report, indent=2)
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(out)
+        print(f"[cli] wrote {args.out}")
+    print(out if not args.out else json.dumps(
+        {k: report[k] for k in ("labels", "num_cases", "mean_dice", "mean_hd95")},
+        indent=2,
+    ))
+    return 0
+
+
 def cmd_convert_features(args):
     """Convert a torch feature-backbone state_dict (torchvision
     inception_v3/resnet18, or lpips alex) to a portable flax npz for
@@ -638,6 +707,18 @@ def build_parser():
     ex.add_argument("--run-dir", required=True)
     ex.add_argument("--out", required=True)
     ex.set_defaults(fn=cmd_export)
+
+    es = sub.add_parser(
+        "eval-seg",
+        help="Dice + HD95 per BraTS label between NIfTI label maps",
+    )
+    es.add_argument("--pred", required=True, help="predicted labels (file or dir)")
+    es.add_argument("--target", required=True, help="reference labels (file or dir)")
+    es.add_argument("--labels", type=int, nargs="*", default=None,
+                    help="label ids (default: BraTS 1 2 4)")
+    es.add_argument("--voxelspacing", type=float, nargs=3, default=None)
+    es.add_argument("--out", default=None, help="write full report JSON here")
+    es.set_defaults(fn=cmd_eval_seg)
 
     cf = sub.add_parser(
         "convert-features",

@@ -8,8 +8,18 @@ module keeps the accounting *interface* and derives the same report from a
 pluggable sensor:
 
 * ``NullEnergySensor``   — runtime only (default; honest zeros for power).
-* ``ConstantPowerSensor``— energy = assumed chip TDP × busy time (documented
+* ``ConstantPowerSensor``— energy = assumed chip TDP × runtime (documented
   estimate, useful for cost/CO₂ budgeting).
+
+The idle-fraction is NOT derived from the (possibly constant) power samples:
+it comes from the trainer's own step timing — every ``StepTimer.stop`` adds
+its measured step duration to a process-wide busy counter
+(``mrijax.obs.timing.busy_seconds``), and the monitor reports
+``1 − busy/runtime`` over its window. This measures real device-busy time
+(steps block on results); untimed device work (validation, sampling) counts
+as idle, so the figure is a lower bound on utilization. Chip POWER remains
+an estimate until TPU power telemetry is exposed — the busy fraction is the
+honest part of the report.
 
 Samples are polled on a background thread at ``interval_s`` (Perun's 1 s
 default), and the summary mirrors the reference's metric names.
@@ -65,7 +75,10 @@ class EnergyMonitor:
             time.sleep(self.interval_s)
 
     def start(self):
+        from mrijax.obs.timing import busy_seconds
+
         self._t_start = time.time()
+        self._busy0 = busy_seconds()
         self._running = True
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -78,18 +91,18 @@ class EnergyMonitor:
         return self.summary()
 
     def summary(self) -> Dict[str, float]:
+        from mrijax.obs.timing import busy_seconds
+
         runtime_s = (self._t_stop or time.time()) - (self._t_start or time.time())
         avg_power_w = (
             sum(self._samples) / len(self._samples) if self._samples else 0.0
         )
         energy_j = avg_power_w * runtime_s
         energy_kwh = energy_j / 3.6e6
-        # idle fraction: share of zero-power samples (perun_utils.py:39-66)
-        idle = (
-            sum(1 for s in self._samples if s == 0.0) / len(self._samples)
-            if self._samples
-            else 1.0
-        )
+        # busy/idle from measured step time in this window, not from the
+        # (degenerate) power samples — see module docstring
+        busy_s = max(busy_seconds() - getattr(self, "_busy0", 0.0), 0.0)
+        idle = max(0.0, 1.0 - busy_s / runtime_s) if runtime_s > 0 else 1.0
         return {
             "runtime_s": runtime_s,
             "avg_power_w": avg_power_w,
@@ -97,6 +110,7 @@ class EnergyMonitor:
             "energy_kwh": energy_kwh,
             "co2_kg": energy_kwh * self.emissions_g_per_kwh / 1000.0,
             "cost_eur": energy_kwh * self.price_per_kwh,
+            "device_busy_s": busy_s,
             "device_idle_fraction": idle,
         }
 

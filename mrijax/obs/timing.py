@@ -6,10 +6,29 @@ that understands async dispatch (block_until_ready before reading the clock)
 and TPU memory stats from the device API.
 """
 
+import threading
 import time
 from typing import Dict, Optional
 
 import jax
+
+# Process-wide accumulated device-busy wall time (every timed step adds its
+# duration). EnergyMonitor snapshots this to derive an honest busy/idle
+# fraction for its measurement window (helpers/perun_utils.py:39-66 analog)
+# without chip power telemetry.
+_BUSY_LOCK = threading.Lock()
+_BUSY_TOTAL_S = 0.0
+
+
+def add_busy_seconds(dt: float) -> None:
+    global _BUSY_TOTAL_S
+    with _BUSY_LOCK:
+        _BUSY_TOTAL_S += dt
+
+
+def busy_seconds() -> float:
+    with _BUSY_LOCK:
+        return _BUSY_TOTAL_S
 
 
 class StepTimer:
@@ -33,6 +52,7 @@ class StepTimer:
         dt = time.perf_counter() - self._t0
         self.num_steps += 1
         self.total_s += dt
+        add_busy_seconds(dt)
         return dt
 
     @property

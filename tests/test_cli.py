@@ -86,3 +86,40 @@ def test_cli_bad_inputs(tmp_path):
         main(["train", "--preset", "slice_cond_2d", "--set", "badformat"])
     with pytest.raises(FileNotFoundError):
         main(["info", "--run-dir", str(tmp_path / "missing")])
+
+
+def test_cli_eval_seg(tmp_path):
+    """Dice/HD95 CLI over synthetic label maps: identical maps score 1.0
+    dice / 0.0 hd95; disjoint label scores 0 dice."""
+    import numpy as np
+
+    from mrijax.cli import main
+    from mrijax.data import nifti
+
+    rng = np.random.default_rng(0)
+    target = (rng.uniform(size=(12, 12, 8)) < 0.3).astype(np.float32)
+    target[2:5, 2:5, 2:5] = 2.0
+    pred = target.copy()
+    pred_dir, targ_dir = tmp_path / "pred", tmp_path / "targ"
+    for d in (pred_dir, targ_dir):
+        d.mkdir()
+    nifti.save(targ_dir / "case1.nii.gz", target)
+    nifti.save(pred_dir / "case1.nii.gz", pred)
+    out = tmp_path / "seg.json"
+    rc = main(["eval-seg", "--pred", str(pred_dir), "--target", str(targ_dir),
+               "--labels", "1", "2", "--out", str(out)])
+    assert rc == 0
+    import json as _json
+
+    rep = _json.loads(out.read_text())
+    assert rep["num_cases"] == 1
+    assert rep["mean_dice"]["1"] == 1.0 and rep["mean_dice"]["2"] == 1.0
+    assert rep["mean_hd95"]["1"] == 0.0
+
+    # perturbed prediction: dice drops below 1
+    pred2 = target.copy()
+    pred2[target == 2.0] = 1.0  # label 2 entirely missing
+    nifti.save(pred_dir / "case1.nii.gz", pred2)
+    rc = main(["eval-seg", "--pred", str(pred_dir), "--target", str(targ_dir),
+               "--labels", "2"])
+    assert rc == 0

@@ -76,3 +76,28 @@ def test_multi_eval_records_errors(tmp_path):
     assert "error" in summary["gone"]
     assert (tmp_path / "evalout" / "summary.json").exists()
     assert (tmp_path / "evalout" / "gone_ERROR.txt").exists()
+
+
+def test_energy_monitor_busy_fraction_from_step_timing():
+    """Idle fraction derives from StepTimer-measured busy time, not from the
+    degenerate power samples (Null sensor used to report idle=1.0 always,
+    Constant sensor idle=0.0 always)."""
+    import time as _time
+
+    from mrijax.obs.energy import ConstantPowerSensor, EnergyMonitor
+    from mrijax.obs.timing import StepTimer
+
+    mon = EnergyMonitor(sensor=ConstantPowerSensor(100.0), interval_s=0.05)
+    mon.start()
+    timer = StepTimer()
+    t_all = _time.time()
+    # ~60% busy window
+    for _ in range(3):
+        timer.start()
+        _time.sleep(0.06)
+        timer.stop()
+        _time.sleep(0.04)
+    summary = mon.stop()
+    assert summary["device_busy_s"] > 0.15
+    assert 0.0 < summary["device_idle_fraction"] < 0.8
+    assert summary["avg_power_w"] == 100.0
