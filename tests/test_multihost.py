@@ -1,0 +1,87 @@
+"""Unit tests for `mrijax.parallel.multihost` (VERDICT r1 item 9).
+
+The helpers replace the reference's residual host-scalar collectives
+(`ddpm_3d_ldm/train.py:127-132,509-512`). Single-process behavior runs for
+real; the multi-process branches are exercised by monkeypatching
+``jax.process_count`` and the ``multihost_utils`` collectives — the goal is
+to pin the *consensus semantics* (host-0 wins; agree=ALL; flagged=ANY),
+which is where a rewrite could silently regress.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.experimental import multihost_utils
+
+from mrijax.parallel import multihost
+
+
+def test_initialize_single_process_is_noop():
+    # No coordinator configured: must not raise, and process_count stays 1.
+    multihost.initialize()
+    assert jax.process_count() == 1
+
+
+def test_single_process_passthrough():
+    assert multihost.broadcast_from_host0(3.25) == 3.25
+    assert multihost.all_processes_agree(True) is True
+    assert multihost.all_processes_agree(False) is False
+    assert multihost.any_process_flagged(True) is True
+    assert multihost.any_process_flagged(False) is False
+
+
+@pytest.fixture
+def fake_4_processes(monkeypatch):
+    """Pretend to be one of 4 hosts; capture what each helper sends and
+    script what the collective returns."""
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    sent = {}
+
+    def fake_broadcast(x):
+        sent["broadcast"] = np.asarray(x)
+        # host-0's value comes back on every host, regardless of ours
+        return np.asarray(7.5, np.float32)
+
+    monkeypatch.setattr(multihost_utils, "broadcast_one_to_all", fake_broadcast)
+    return sent
+
+
+def test_broadcast_returns_host0_value(fake_4_processes):
+    out = multihost.broadcast_from_host0(123.0)
+    assert out == 7.5  # our local 123.0 is discarded; host-0's scalar wins
+    assert fake_4_processes["broadcast"].dtype == np.float32
+
+
+@pytest.mark.parametrize(
+    "votes, agree, flagged",
+    [
+        ([True, True, True, True], True, True),
+        ([True, False, True, True], False, True),  # one dissent kills agree
+        ([False, False, False, False], False, False),
+        ([False, False, True, False], False, True),  # one flag suffices
+    ],
+)
+def test_consensus_semantics(monkeypatch, votes, agree, flagged):
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(
+        multihost_utils,
+        "process_allgather",
+        lambda x: np.asarray(votes).reshape(4, 1),
+    )
+    # all_processes_agree = AND over hosts (early-stop must be unanimous)
+    assert multihost.all_processes_agree(votes[0]) is agree
+    # any_process_flagged = OR over hosts (SIGUSR1 on one host stops all)
+    assert multihost.any_process_flagged(votes[0]) is flagged
+
+
+def test_initialize_raises_when_multiprocess_requested_but_fails(monkeypatch):
+    def boom(**kw):
+        raise RuntimeError("no coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError):
+        multihost.initialize(coordinator_address="10.0.0.1:1234",
+                            num_processes=4, process_id=1)
+    # but an explicit single-process request swallows the failure
+    multihost.initialize(num_processes=1)
