@@ -18,10 +18,12 @@ from mrijax.data.datasets import (
 from mrijax.data.loader import BatchLoader, take_subset, split_dataset, epoch_permutation
 from mrijax.data.split import split_subjects, apply_split, volume_split_indices
 from mrijax.data.packing import (
+    PackedLatentDataset,
     PackedMultiModalDataset25D,
     PackedSliceDataset,
     PackedVolumeDataset,
     pack_dataset,
+    pack_latents,
     pack_multimodal_slices,
     pack_volumes,
 )
@@ -51,4 +53,6 @@ __all__ = [
     "PackedSliceDataset",
     "PackedVolumeDataset",
     "PackedMultiModalDataset25D",
+    "PackedLatentDataset",
+    "pack_latents",
 ]

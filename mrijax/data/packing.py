@@ -336,3 +336,160 @@ class PackedMultiModalDataset25D:
         )  # (S, S, 4·2r), dz-major then modality
         z_pos = np.float32(z / (data["depth"] - 1))
         return {"image": center, "context": context, "z_pos": z_pos}
+
+
+# ------------------------------------------------------------- 3D latents
+
+
+def pack_latents(
+    src_dir,
+    output_dir,
+    vae,
+    vae_params,
+    *,
+    downsample: Optional[int] = None,
+) -> dict:
+    """Encode every full volume ONCE through the frozen VAE and store the
+    latents (the stage-2 LDM then trains from latent crops —
+    ``make_cached_latent_train_step``).
+
+    TPU-native replacement for the reference's encode-per-step
+    (`ddpm_3d_ldm/train.py:391-400`): the frozen encoder's output is a pure
+    function of the data, and at flagship scale the per-step encode is 183
+    of 273 ms on a v5e chip (PERF.md). Volumes are padded (symmetric, the
+    ``pad_volume_to_min`` rule) so every spatial dim is a multiple of the
+    VAE's total downsample factor, then encoded WHOLE; training crops in
+    latent space, so crop offsets land on a ``downsample``-voxel pixel grid
+    instead of the reference's 1-voxel grid (the one distribution
+    difference, documented in the index).
+
+    ``src_dir``: a ``pack_volumes`` output dir (kind=volumes3d) or a raw
+    BraTS tree. Returns the written index.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    src_dir, output_dir = Path(src_dir), Path(output_dir)
+    if downsample is None:
+        downsample = 2 ** vae.num_down
+
+    @jax.jit
+    def encode(params, x):
+        return vae.apply(params, x, method="encode_to_latent")
+
+    def volumes():
+        idx_path = src_dir / "index.json"
+        if idx_path.exists():
+            index = json.loads(idx_path.read_text())
+            if index.get("kind") != "volumes3d":
+                raise ValueError(f"{src_dir} is not a pack_volumes directory")
+            for f in index["files"]:
+                with np.load(src_dir / f["path"]) as z:
+                    yield f["path"], z["volume"]  # (C, D, H, W)
+        else:
+            from mrijax.data.datasets import (
+                MODALITIES_3D,
+                VolumeDataset3D,
+                _zscore_nonzero_np,
+                load_volume,
+            )
+
+            finder = VolumeDataset3D.__new__(VolumeDataset3D)
+            finder.root_dir = src_dir
+            finder.modalities = tuple(MODALITIES_3D)
+            cases = finder._find_cases()
+            if not cases:
+                raise RuntimeError(f"no complete BraTS cases under {src_dir}")
+            for case_paths in cases:
+                chans = []
+                for p in case_paths:
+                    vol = load_volume(p)
+                    if vol.ndim == 4:
+                        vol = vol[..., 0]
+                    chans.append(_zscore_nonzero_np(np.transpose(vol, (2, 0, 1))))
+                rel = str(Path(case_paths[0]).relative_to(src_dir))
+                yield rel, np.stack(chans, axis=0)
+
+    from mrijax.data.preprocess import pad_volume_to_min
+
+    index = {
+        "kind": "latents3d",
+        "downsample": int(downsample),
+        "params_fingerprint": params_fingerprint(vae_params),
+        "files": [],
+    }
+    for rel, packed in volumes():
+        tgt = [int(-(-s // downsample)) * downsample for s in packed.shape[1:]]
+        padded = pad_volume_to_min(packed, tgt)  # (C, D*, H*, W*)
+        x = np.moveaxis(padded, 0, -1)[None]     # (1, D*, H*, W*, C)
+        z = np.asarray(
+            encode(vae_params, jnp.asarray(x)), dtype=np.float32
+        )[0]                                      # (d, h, w, Cz)
+        out_path = (output_dir / rel).with_suffix("").with_suffix(".npz")
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(out_path, latent=np.moveaxis(z, -1, 0))  # (Cz, d, h, w)
+        index["files"].append(
+            {"path": str(out_path.relative_to(output_dir)),
+             "shape": list(z.shape)}
+        )
+    (output_dir / "index.json").write_text(json.dumps(index, indent=1))
+    return index
+
+
+def params_fingerprint(params) -> float:
+    """Cheap content fingerprint of a param tree (catches a latent cache
+    built by a DIFFERENT VAE than the one training resumes with)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(params)
+    return float(sum(float(np.sum(np.abs(np.asarray(l, np.float64)))) for l in leaves))
+
+
+class PackedLatentDataset:
+    """Reader over ``pack_latents`` output: per-(seed, epoch, index) random
+    (or center) crops in LATENT space; yields {"latent": (d, h, w, Cz)}."""
+
+    def __init__(self, packed_dir, latent_patch, *, random_crop: bool = True,
+                 seed: int = 0, cache_size: int = 8):
+        self.packed_dir = Path(packed_dir)
+        index = json.loads((self.packed_dir / "index.json").read_text())
+        if index.get("kind") != "latents3d":
+            raise ValueError(f"{packed_dir} is not a pack_latents directory")
+        self.downsample = index["downsample"]
+        self.params_fingerprint = index.get("params_fingerprint")
+        self.files = [f["path"] for f in index["files"]]
+        self.latent_patch = tuple(latent_patch)
+        self.random_crop = random_crop
+        self.seed = seed
+        self.epoch = 0
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._cache_size = cache_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self):
+        return len(self.files)
+
+    def _load(self, idx: int) -> np.ndarray:
+        if idx in self._cache:
+            self._cache.move_to_end(idx)
+            return self._cache[idx]
+        with np.load(self.packed_dir / self.files[idx]) as z:
+            lat = z["latent"]  # (Cz, d, h, w)
+        self._cache[idx] = lat
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return lat
+
+    def __getitem__(self, idx: int):
+        from mrijax.data.preprocess import crop_volume, pad_volume_to_min
+
+        lat = pad_volume_to_min(self._load(idx), self.latent_patch)
+        rng = (
+            np.random.default_rng((self.seed, self.epoch, idx))
+            if self.random_crop
+            else None
+        )
+        lat = crop_volume(lat, self.latent_patch, rng=rng)
+        return {"latent": np.moveaxis(lat, 0, -1)}  # (d, h, w, Cz)

@@ -16,6 +16,8 @@ from mrijax.train.steps import (
     make_vae_eval_step,
     make_latent_diffusion_train_step,
     make_latent_diffusion_eval_step,
+    make_cached_latent_train_step,
+    make_cached_latent_eval_step,
     sample_timesteps,
 )
 
@@ -32,6 +34,8 @@ __all__ = [
     "make_vae_eval_step",
     "make_latent_diffusion_train_step",
     "make_latent_diffusion_eval_step",
+    "make_cached_latent_train_step",
+    "make_cached_latent_eval_step",
     "sample_timesteps",
     "Trainer",
     "TrainerResult",

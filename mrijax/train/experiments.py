@@ -14,6 +14,7 @@ all devices replaces both DataParallel and DDP/NCCL; pass ``mesh=None`` to
 build one automatically.
 """
 
+import json
 from pathlib import Path
 from typing import Optional
 
@@ -24,14 +25,17 @@ from mrijax.config import DiffusionConfig, ExperimentConfig, TrainConfig, UNetCo
 from mrijax.data import (
     BatchLoader,
     MultiModalSliceDataset25D,
+    PackedLatentDataset,
     PackedMultiModalDataset25D,
     PackedSliceDataset,
     PackedVolumeDataset,
     SliceDataset2D,
     VolumeDataset3D,
+    pack_latents,
     split_dataset,
     take_subset,
 )
+from mrijax.data.packing import params_fingerprint
 from mrijax.diffusion import (
     GaussianDiffusion,
     cosine_beta_schedule,
@@ -45,7 +49,10 @@ from mrijax.parallel import make_mesh, replicated_sharding
 from mrijax.train.state import create_train_state
 from mrijax.train.steps import (
     estimate_latent_scale,
+    estimate_latent_scale_from_latents,
     fixed_validation_timesteps,
+    make_cached_latent_eval_step,
+    make_cached_latent_train_step,
     make_diffusion_eval_step,
     make_diffusion_train_step,
     make_latent_diffusion_eval_step,
@@ -318,11 +325,52 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
         vae_result = vae_trainer.fit(vae_state)
     vae_params = vae_result.state.params  # frozen from here on
 
+    # The VAE is frozen from here on, so its output is a pure function of
+    # the data: with cache_latents, encode every full volume ONCE and run
+    # the whole LDM stage from latent crops — removing the per-step encode
+    # that costs 183 of 273 ms at flagship scale (PERF.md; the reference
+    # re-encodes every batch forever, train.py:391-400).
+    use_cache = cfg.train.cache_latents
+    if use_cache:
+        f = 2 ** cfg.vae.num_down
+        if any(p % f for p in d.patch_size):
+            raise ValueError(
+                f"cache_latents requires patch_size {d.patch_size} divisible "
+                f"by the VAE downsample factor {f}"
+            )
+        cache_dir = (
+            Path(cfg.train.checkpoint_dir) / cfg.family / cfg.name / "latent_cache"
+        )
+        fp = params_fingerprint(vae_params)
+        idx_path = cache_dir / "index.json"
+        needs_pack = True
+        if idx_path.exists():
+            old_fp = json.loads(idx_path.read_text()).get("params_fingerprint")
+            needs_pack = (
+                old_fp is None
+                or abs(old_fp - fp) > 1e-6 * max(1.0, abs(fp))
+            )
+        if needs_pack:
+            print(f"[3d_ldm] packing frozen-VAE latents -> {cache_dir}")
+            with mesh:
+                pack_latents(
+                    d.packed_dir or d.root_dir, cache_dir, vae, vae_params,
+                    downsample=f,
+                )
+        lat_patch = tuple(p // f for p in d.patch_size)
+        lat_ds = PackedLatentDataset(cache_dir, lat_patch, random_crop=True)
+        # same split seed over the same case order => identical subject split
+        train_loader, val_loader = _make_loaders(cfg, lat_ds, mesh)
+
     # latent-scale estimation over ≤200 batches (replicated, deterministic)
     train_loader.set_epoch(0)
-    batches = (b["volume"] for _, b in zip(range(200), iter(train_loader)))
-    with mesh:
-        latent_scale = estimate_latent_scale(vae, vae_params, batches)
+    if use_cache:
+        batches = (b["latent"] for _, b in zip(range(200), iter(train_loader)))
+        latent_scale = estimate_latent_scale_from_latents(batches)
+    else:
+        batches = (b["volume"] for _, b in zip(range(200), iter(train_loader)))
+        with mesh:
+            latent_scale = estimate_latent_scale(vae, vae_params, batches)
     logger.log_metric("latent_scale", latent_scale)
     print(f"[3d_ldm] latent scale = {latent_scale:.4f}")
 
@@ -340,22 +388,37 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
         replicated_sharding(mesh),
     )
 
-    ldm_step = make_latent_diffusion_train_step(
-        unet, vae, diffusion, t_min=cfg.diffusion.t_min
-    )
-    ldm_eval = make_latent_diffusion_eval_step(unet, vae, diffusion)
     t_grid = fixed_validation_timesteps(cfg.diffusion.timesteps, 8)
 
-    def train_step(state, batch, key):
-        return ldm_step(state, vae_params, batch, key, latent_scale)
+    if use_cache:
+        ldm_step = make_cached_latent_train_step(
+            unet, diffusion, t_min=cfg.diffusion.t_min
+        )
+        ldm_eval = make_cached_latent_eval_step(unet, diffusion)
 
-    def eval_step(params, batch, key, batch_index=0):
-        # fixed-timestep validation grid, cycled per batch and realigned
-        # every epoch (train.py:446-458) — the Trainer supplies the
-        # per-epoch batch_index, so every epoch validates on the same
-        # timestep alignment regardless of the number of val batches.
-        t_fixed = t_grid[batch_index % len(t_grid)]
-        return ldm_eval(params, vae_params, batch, key, latent_scale, t_fixed)
+        def train_step(state, batch, key):
+            return ldm_step(state, batch, key, latent_scale)
+
+        def eval_step(params, batch, key, batch_index=0):
+            t_fixed = t_grid[batch_index % len(t_grid)]
+            return ldm_eval(params, batch, key, latent_scale, t_fixed)
+
+    else:
+        ldm_step = make_latent_diffusion_train_step(
+            unet, vae, diffusion, t_min=cfg.diffusion.t_min
+        )
+        ldm_eval = make_latent_diffusion_eval_step(unet, vae, diffusion)
+
+        def train_step(state, batch, key):
+            return ldm_step(state, vae_params, batch, key, latent_scale)
+
+        def eval_step(params, batch, key, batch_index=0):
+            # fixed-timestep validation grid, cycled per batch and realigned
+            # every epoch (train.py:446-458) — the Trainer supplies the
+            # per-epoch batch_index, so every epoch validates on the same
+            # timestep alignment regardless of the number of val batches.
+            t_fixed = t_grid[batch_index % len(t_grid)]
+            return ldm_eval(params, vae_params, batch, key, latent_scale, t_fixed)
 
     ldm_trainer = _trainer(
         cfg.train, ckpt_dir=f"{cfg.family}/{cfg.name}/ldm", logger=logger,

@@ -172,6 +172,70 @@ def make_latent_diffusion_train_step(
     return train_step
 
 
+def make_cached_latent_train_step(
+    unet, diffusion: GaussianDiffusion, *, t_min: int = 1, donate: bool = True
+):
+    """Stage-2 LDM step over PRECOMPUTED frozen-VAE latents.
+
+    TPU-native optimization of the reference's per-step re-encode
+    (`ddpm_3d_ldm/train.py:391-400` encodes every batch through the frozen
+    VAE forever): the encoder is frozen after stage 1, so its output is a
+    pure function of the data — encode each full volume ONCE offline
+    (``mrijax.data.packing.pack_latents``) and train from latent crops.
+    Measured on one v5e chip at flagship scale the full step spends 183 ms
+    of 273 ms in the frozen encode (PERF.md): the cached step at batch 8
+    trains 29.3 volumes/s vs 3.7 for encode-per-step at batch 1.
+
+    batch: {"latent": (B, d, h, w, Cz)} — raw (unscaled) VAE means.
+    Identical math to ``make_latent_diffusion_train_step`` given the same
+    latents and RNG key (pinned by test).
+    """
+
+    def loss_fn(params, z, t, noise):
+        def model_fn(x, tt):
+            return unet.apply(params, x, tt)
+
+        return diffusion.p_losses(model_fn, z, t, noise)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, batch, key, latent_scale):
+        z = batch["latent"].astype(jnp.float32) * latent_scale
+        tkey, nkey = jax.random.split(key)
+        t = sample_timesteps(tkey, z.shape[0], diffusion.timesteps, t_min)
+        noise = jax.random.normal(nkey, z.shape, jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, z, t, noise)
+        state = state.apply_gradients(grads=grads)
+        return state, loss
+
+    return train_step
+
+
+def make_cached_latent_eval_step(unet, diffusion: GaussianDiffusion):
+    """Fixed-timestep validation on precomputed latents (same grid protocol
+    as ``make_latent_diffusion_eval_step``)."""
+
+    @jax.jit
+    def eval_step(params, batch, key, latent_scale, t_fixed):
+        z = batch["latent"].astype(jnp.float32) * latent_scale
+        t = jnp.full((z.shape[0],), t_fixed, jnp.int32)
+        noise = jax.random.normal(key, z.shape, jnp.float32)
+
+        def model_fn(x, tt):
+            return unet.apply(params, x, tt)
+
+        return diffusion.p_losses(model_fn, z, t, noise)
+
+    return eval_step
+
+
+def estimate_latent_scale_from_latents(batches) -> float:
+    """``estimate_latent_scale`` when the latents are already in hand:
+    1/√(mean per-batch latent variance) (`ddpm_3d_ldm/train.py:350-364`)."""
+    vars_ = [float(jnp.var(jnp.asarray(z))) for z in batches]
+    v = float(jnp.mean(jnp.asarray(vars_))) if vars_ else 1.0
+    return 1.0 / (max(v, 1e-8) ** 0.5)
+
+
 def make_latent_diffusion_eval_step(unet, vae, diffusion: GaussianDiffusion):
     """Fixed-timestep validation: the reference evaluates on a deterministic
     grid linspace(1, T-1, 8) cycled across batches for low-variance val loss
