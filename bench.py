@@ -28,6 +28,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_VOL_PER_S = 0.045  # estimated reference GPU pipeline (see docstring)
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak bf16 (MXU) FLOP/s per chip
 T_STEPS = 400
 BATCH = 8  # volumes denoised together: throughput metric; the reference
            # samples one volume at a time (bs=1/GPU) — batching is the
@@ -35,6 +36,38 @@ BATCH = 8  # volumes denoised together: throughput metric; the reference
 DECODE_CHUNK = 4  # volumes decoded at once (full-res decode sets the HBM peak)
 LATENT_SHAPE = (BATCH, 32, 40, 40, 16)
 VOLUME_SHAPE = (128, 160, 160)
+
+
+def _flops_of(fn, *args):
+    """Total FLOPs of one call of ``fn`` via XLA HLO cost analysis.
+
+    Lowered on host CPU with Pallas disabled (the XLA attention path is
+    math-identical to the flash kernel, and HLO cost analysis cannot see
+    inside a Pallas call anyway). NOTE: cost analysis counts a
+    ``lax.scan``/``while`` body ONCE, so callers must analyze loop bodies
+    separately and multiply by trip count."""
+    from mrijax.kernels.dispatch import disable_pallas
+
+    specs = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), args
+    )
+    try:
+        with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+            ca = jax.jit(fn).lower(*specs).cost_analysis()
+        flops = float((ca or {}).get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception as e:  # analysis must never break the benchmark
+        print(f"# flops analysis unavailable: {e}",
+              file=__import__("sys").stderr)
+        return None
+
+
+def _mfu(flops, dt):
+    """Model FLOPs utilization vs the v5e bf16 peak (only meaningful on
+    the real chip)."""
+    if flops is None or jax.default_backend() != "tpu":
+        return None
+    return round(flops / dt / V5E_BF16_PEAK_FLOPS, 4)
 
 
 def _init_on_cpu(model, *example_args):
@@ -91,8 +124,26 @@ def build_pipeline():
         )
         return vols.reshape(BATCH, *vols.shape[2:])
 
+    # FLOPs for MFU: the 400-step denoise scan body and the per-chunk decode
+    # are analyzed standalone (cost analysis counts loop bodies once) and
+    # scaled by their trip counts; the DDIM update math itself is negligible
+    # (~1e-5 of one UNet forward).
+    unet_flops = _flops_of(
+        lambda p, x, t: unet_init.apply(p, x, t),
+        unet_params, jnp.zeros(LATENT_SHAPE, jnp.bfloat16),
+        jnp.zeros((BATCH,), jnp.int32),
+    )
+    decode_flops = _flops_of(
+        lambda p, z: vae.apply(p, z, method="decode_from_latent"),
+        vae_params, jnp.zeros((DECODE_CHUNK, *LATENT_SHAPE[1:]), jnp.bfloat16),
+    )
+    total_flops = (
+        T_STEPS * unet_flops + (BATCH // DECODE_CHUNK) * decode_flops
+        if unet_flops and decode_flops else None
+    )
+
     jitted = jax.jit(sample_volume)
-    return lambda rng: jitted(unet_params, vae_params, rng)
+    return (lambda rng: jitted(unet_params, vae_params, rng)), total_flops
 
 
 def bench_train_step():
@@ -139,6 +190,17 @@ def bench_train_step():
         )
     }
     key = jax.random.PRNGKey(0)
+
+    # FLOPs of the full compiled step (fwd + bwd incl. any remat recompute +
+    # Adam), via a math-identical non-flash twin lowered on CPU.
+    step_analysis = make_latent_diffusion_train_step(
+        unet_init, vae, diffusion, donate=False
+    )
+    step_flops = _flops_of(
+        lambda s, vp, b, k: step_analysis(s, vp, b, k, 1.0),
+        state, vae_params, batch, key,
+    )
+
     state, loss = step(state, vae_params, batch, key, 1.0)
     _ = float(loss)  # sync
     n = 4
@@ -153,6 +215,74 @@ def bench_train_step():
         "unit": "sec/step (bs=1 volume 128x160x160x4, frozen-VAE encode + min-SNR + Adam)",
         "vs_baseline": None,
         "steps_per_s": round(1.0 / dt, 3),
+        "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
+        "mfu": _mfu(step_flops, dt),
+    }))
+
+
+def bench_train_step_cached(batch: int = 8):
+    """Tuned training path (``--train-cached``): the stage-2 LDM step on
+    PRECOMPUTED frozen-VAE latents at TPU-native batch size (PERF.md
+    "Train-step breakdown" — the frozen encode is 183 of 273 ms per step
+    and batching the latent UNet is near-free, so cache latents offline
+    via ``pack_latents`` and train at batch 8)."""
+    import numpy as np
+
+    from mrijax.diffusion import GaussianDiffusion, cosine_beta_schedule, make_schedule
+    from mrijax.models import UNet3D
+    from mrijax.train import create_train_state
+    from mrijax.train.steps import make_cached_latent_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    unet_kw = dict(
+        in_channels=16, base_channels=128, channel_mults=(1, 2, 4),
+        use_attention=True, num_heads=4, dtype=jnp.bfloat16,
+    )
+    unet = UNet3D(use_flash_attention=on_tpu, **unet_kw)
+    unet_init = UNet3D(use_flash_attention=False, **unet_kw)
+    diffusion = GaussianDiffusion(
+        make_schedule(cosine_beta_schedule(T_STEPS)), loss_type="min_snr"
+    )
+    unet_params = _init_on_cpu(
+        unet_init, jnp.zeros((1, 8, 8, 8, 16), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32),
+    )
+    state = jax.device_put(
+        create_train_state(unet_params, 1e-4), jax.devices()[0]
+    )
+    step = make_cached_latent_train_step(unet, diffusion, donate=False)
+    batch_d = {
+        "latent": jax.device_put(
+            np.random.default_rng(0)
+            .normal(size=(batch, *LATENT_SHAPE[1:]))
+            .astype(np.float32)
+        )
+    }
+    key = jax.random.PRNGKey(0)
+
+    step_analysis = make_cached_latent_train_step(
+        unet_init, diffusion, donate=False
+    )
+    step_flops = _flops_of(
+        lambda s, b, k: step_analysis(s, b, k, 1.0), state, batch_d, key
+    )
+
+    state, loss = step(state, batch_d, key, 1.0)
+    _ = float(loss)
+    n = 4
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, loss = step(state, batch_d, jax.random.fold_in(key, i), 1.0)
+        _ = float(loss)
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "3d_ldm_cached_train_throughput",
+        "value": round(batch / dt, 3),
+        "unit": f"volumes/sec trained (batch {batch} cached latents 32x40x40x16, min-SNR + Adam)",
+        "vs_baseline": None,
+        "sec_per_step": round(dt, 4),
+        "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
+        "mfu": _mfu(step_flops, dt),
     }))
 
 
@@ -162,8 +292,11 @@ def main():
     if "--train" in sys.argv:
         bench_train_step()
         return
+    if "--train-cached" in sys.argv:
+        bench_train_step_cached()
+        return
     t_setup = time.perf_counter()
-    sample = build_pipeline()
+    sample, pipeline_flops = build_pipeline()
     rng = jax.random.PRNGKey(42)
 
     # compile + warmup; readback forces full synchronization (the axon
@@ -189,6 +322,10 @@ def main():
                 "vs_baseline": round(vols_per_s / BASELINE_VOL_PER_S, 3),
                 "secs_per_volume": round(dt / BATCH, 3),
                 "setup_secs": round(setup_s, 1),
+                "pipeline_tflops": (
+                    round(pipeline_flops / 1e12, 1) if pipeline_flops else None
+                ),
+                "mfu": _mfu(pipeline_flops, dt),
             }
         )
     )

@@ -182,9 +182,11 @@ def make_cached_latent_train_step(
     VAE forever): the encoder is frozen after stage 1, so its output is a
     pure function of the data — encode each full volume ONCE offline
     (``mrijax.data.packing.pack_latents``) and train from latent crops.
-    Measured on one v5e chip at flagship scale the full step spends 183 ms
-    of 273 ms in the frozen encode (PERF.md): the cached step at batch 8
-    trains 29.3 volumes/s vs 3.7 for encode-per-step at batch 1.
+    Measured on one v5e chip at flagship scale (PERF.md "Cached-latent
+    training"): encode-per-step at the reference's bs=1 trains 1.95
+    volumes/s; the cached step at batch 8 trains ~18 volumes/s (0.45
+    s/step, ~21% MFU) — the encode leaves the step entirely and batching
+    the small-latent UNet fills the MXU.
 
     batch: {"latent": (B, d, h, w, Cz)} — raw (unscaled) VAE means.
     Identical math to ``make_latent_diffusion_train_step`` given the same
