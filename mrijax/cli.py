@@ -136,6 +136,15 @@ def cmd_sample(args):
     key = jax.random.PRNGKey(args.seed)
     s = cfg.data.image_size
 
+    # --data-parallel: shard the sampling batch over all devices (each chip
+    # denoises its own shard, zero collectives — parallel.sharded_sample)
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from mrijax.parallel import make_mesh
+
+        mesh = make_mesh(("data",))
+        print(f"[cli] data-parallel sampling over {mesh.shape['data']} devices")
+
     if cfg.family in ("slice_cond_2d", "ddpm_25d"):
         model = build_unet2d(cfg.unet)
         x_ch = cfg.unet.out_channels  # denoised channels
@@ -157,6 +166,7 @@ def cmd_sample(args):
                 model, params, diffusion, num_samples=args.num_samples,
                 image_size=s, z_pos=args.z_pos, key=key,
                 ddim_steps=args.ddim_steps, channels=cfg.unet.out_channels,
+                mesh=mesh,
             )
             save_grid_png(out_dir / "grid.png", np.asarray(imgs)[..., :1])
             print(f"[cli] wrote {out_dir/'grid.png'}")
@@ -164,7 +174,7 @@ def cmd_sample(args):
             vol = generate.sample_pseudo3d_sweep(
                 model, params, diffusion, num_slices=args.num_slices,
                 image_size=s, key=key, ddim_steps=args.ddim_steps,
-                channels=cfg.unet.out_channels,
+                channels=cfg.unet.out_channels, mesh=mesh,
             )
             save_grid_png(out_dir / "sweep.png", np.asarray(vol)[..., :1], nrow=16)
             nifti.save(out_dir / "sweep.nii.gz", np.asarray(vol)[..., 0])
@@ -175,11 +185,16 @@ def cmd_sample(args):
             ds = MultiModalSliceDataset25D(
                 cfg.data.root_dir, s, cfg.data.slice_radius
             )
-            fn = (generate.generate_pseudo3d_real_context
-                  if args.mode == "pseudo3d-real"
-                  else generate.generate_pseudo3d_hybrid)
-            vol = fn(model, params, diffusion, ds, args.subject, key=key,
-                     ddim_steps=args.ddim_steps)
+            if args.mode == "pseudo3d-real":
+                vol = generate.generate_pseudo3d_real_context(
+                    model, params, diffusion, ds, args.subject, key=key,
+                    ddim_steps=args.ddim_steps, mesh=mesh,
+                )
+            else:  # hybrid is inherently sequential over slices
+                vol = generate.generate_pseudo3d_hybrid(
+                    model, params, diffusion, ds, args.subject, key=key,
+                    ddim_steps=args.ddim_steps,
+                )
             vol = np.asarray(vol)
             for c in range(vol.shape[-1]):
                 save_grid_png(out_dir / f"{args.mode}_mod{c}.png", vol[..., c], nrow=16)
@@ -248,6 +263,7 @@ def cmd_sample(args):
             num_volumes=args.num_samples,
             latent_spatial=latent_shape[:-1], latent_channels=latent_shape[-1],
             latent_scale=latent_scale, key=key, ddim_steps=args.ddim_steps,
+            mesh=mesh,
         )
         vols = np.asarray(vols)
         for i, v in enumerate(vols):
@@ -325,20 +341,44 @@ def cmd_eval(args):
     loader = BatchLoader(_View(), args.batch_size, shuffle=False, drop_last=True,
                          prefetch=0)
 
+    # --data-parallel: shard the dominant eval cost (matched-condition
+    # sampling, ~num_samples × T UNet forwards) over all devices
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from mrijax.parallel import make_mesh
+
+        if args.batch_size % jax.device_count():
+            raise SystemExit(
+                f"--data-parallel needs --batch-size divisible by the "
+                f"device count ({jax.device_count()})"
+            )
+        mesh = make_mesh(("data",))
+        print(f"[cli] data-parallel sampling over {mesh.shape['data']} devices")
+
+    def _local_sample(p, k, cond):
+        z, context = cond
+
+        def model_fn(x, t):
+            return model.apply(p, x, t, z, context)
+
+        shape = (z.shape[0], s, s, cfg.unet.out_channels)
+        if args.ddim_steps:
+            return diffusion.ddim_sample(model_fn, shape, k, num_steps=args.ddim_steps)
+        return diffusion.p_sample_loop(model_fn, shape, k)
+
     def sample_fn(batch, k):
         z = jnp.asarray(batch["z_pos"])
         if args.unconditional:
             # fixed z=0.5 regardless of the real batch's conditions
             z = jnp.full_like(z, 0.5)
         context = jnp.asarray(batch["context"]) if is_25d else None
+        if mesh is not None and z.shape[0] % mesh.shape["data"] == 0:
+            from mrijax.parallel import sharded_sample
 
-        def model_fn(x, t):
-            return model.apply(params, x, t, z, context)
-
-        shape = (z.shape[0], s, s, cfg.unet.out_channels)
-        if args.ddim_steps:
-            return diffusion.ddim_sample(model_fn, shape, k, num_steps=args.ddim_steps)
-        return diffusion.p_sample_loop(model_fn, shape, k)
+            return sharded_sample(
+                mesh, _local_sample, params, k, z.shape[0], cond=(z, context)
+            )
+        return _local_sample(params, k, (z, context))
 
     # pretrained extractors (converted via `mrijax convert-features`) give
     # real FID/KID/LPIPS/PR; without them the seeded-random extractor is
@@ -680,6 +720,9 @@ def build_parser():
     s.add_argument("--ddim-steps", type=int, default=None)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--out-dir", default=None)
+    s.add_argument("--data-parallel", action="store_true",
+                   help="shard the sampling batch over all devices "
+                        "(batch must divide the device count)")
     s.set_defaults(fn=cmd_sample)
 
     e = sub.add_parser("eval", help="matched-condition generative eval")
@@ -701,6 +744,8 @@ def build_parser():
                    help="npz from `convert-features --arch lpips_alex` → real LPIPS diversity")
     e.add_argument("--resnet18-weights", default=None,
                    help="npz from `convert-features --arch resnet18` → real improved PR")
+    e.add_argument("--data-parallel", action="store_true",
+                   help="shard the matched-condition sampling over all devices")
     e.set_defaults(fn=cmd_eval)
 
     ex = sub.add_parser("export", help="export best weights to portable npz")

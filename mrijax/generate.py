@@ -45,19 +45,29 @@ def sample_2d(
     key=None,
     ddim_steps: Optional[int] = None,
     channels: int = 1,
+    mesh=None,
 ):
     """Unconditional-ish grid sampling at a fixed slice position
-    (`show_model.py` mode "2d", default z=0.5)."""
+    (`show_model.py` mode "2d", default z=0.5). With ``mesh``, the batch
+    is sharded data-parallel over the mesh (`parallel.sharded_sample`)."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    z = jnp.full((num_samples,), z_pos, jnp.float32)
 
-    def model_fn(x, t):
-        return model.apply(params, x, t, z)
+    def _sample(p, k, local):
+        z = jnp.full((local,), z_pos, jnp.float32)
 
-    shape = (num_samples, image_size, image_size, channels)
-    if ddim_steps is not None:
-        return diffusion.ddim_sample(model_fn, shape, key, num_steps=ddim_steps)
-    return diffusion.p_sample_loop(model_fn, shape, key)
+        def model_fn(x, t):
+            return model.apply(p, x, t, z)
+
+        shape = (local, image_size, image_size, channels)
+        if ddim_steps is not None:
+            return diffusion.ddim_sample(model_fn, shape, k, num_steps=ddim_steps)
+        return diffusion.p_sample_loop(model_fn, shape, k)
+
+    if mesh is not None:
+        from mrijax.parallel.sampling import sharded_sample
+
+        return sharded_sample(mesh, _sample, params, key, num_samples)
+    return _sample(params, key, num_samples)
 
 
 def sample_pseudo3d_sweep(
@@ -70,19 +80,28 @@ def sample_pseudo3d_sweep(
     key=None,
     ddim_steps: Optional[int] = None,
     channels: int = 1,
+    mesh=None,
 ):
     """z-sweep pseudo-3D volume: all ``num_slices`` positions sampled as one
-    batch (`show_model.py:152-209`). Returns (S, H, W, C)."""
+    batch (`show_model.py:152-209`). Returns (S, H, W, C). With ``mesh``,
+    the z positions are sharded over the mesh's data axis."""
     key = key if key is not None else jax.random.PRNGKey(0)
     z = jnp.linspace(0.0, 1.0, num_slices)
 
-    def model_fn(x, t):
-        return model.apply(params, x, t, z)
+    def _sample(p, k, z_local):
+        def model_fn(x, t):
+            return model.apply(p, x, t, z_local)
 
-    shape = (num_slices, image_size, image_size, channels)
-    if ddim_steps is not None:
-        return diffusion.ddim_sample(model_fn, shape, key, num_steps=ddim_steps)
-    return diffusion.p_sample_loop(model_fn, shape, key)
+        shape = (z_local.shape[0], image_size, image_size, channels)
+        if ddim_steps is not None:
+            return diffusion.ddim_sample(model_fn, shape, k, num_steps=ddim_steps)
+        return diffusion.p_sample_loop(model_fn, shape, k)
+
+    if mesh is not None:
+        from mrijax.parallel.sampling import sharded_sample
+
+        return sharded_sample(mesh, _sample, params, key, num_slices, cond=z)
+    return _sample(params, key, z)
 
 
 # ----------------------------------------------------------------- 2.5D
@@ -104,18 +123,32 @@ def conditional_sample_25d(
     key=None,
     ddim_steps: Optional[int] = None,
     out_channels: int = 4,
+    mesh=None,
 ):
-    """Sample center slices given (z_pos (B,), context (B, H, W, Ck))."""
+    """Sample center slices given (z_pos (B,), context (B, H, W, Ck)).
+    With ``mesh``, the (z_pos, context) batch is sharded data-parallel —
+    real-context pseudo-3D generation then scales linearly with chips."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    b, h, w = context.shape[0], context.shape[1], context.shape[2]
+    h, w = context.shape[1], context.shape[2]
 
-    def model_fn(x, t):
-        return model.apply(params, x, t, z_pos, context)
+    def _sample(p, k, cond):
+        z_l, ctx_l = cond
 
-    shape = (b, h, w, out_channels)
-    if ddim_steps is not None:
-        return diffusion.ddim_sample(model_fn, shape, key, num_steps=ddim_steps)
-    return diffusion.p_sample_loop(model_fn, shape, key)
+        def model_fn(x, t):
+            return model.apply(p, x, t, z_l, ctx_l)
+
+        shape = (ctx_l.shape[0], h, w, out_channels)
+        if ddim_steps is not None:
+            return diffusion.ddim_sample(model_fn, shape, k, num_steps=ddim_steps)
+        return diffusion.p_sample_loop(model_fn, shape, k)
+
+    if mesh is not None:
+        from mrijax.parallel.sampling import sharded_sample
+
+        return sharded_sample(
+            mesh, _sample, params, key, context.shape[0], cond=(z_pos, context)
+        )
+    return _sample(params, key, (z_pos, context))
 
 
 def generate_pseudo3d_real_context(
@@ -128,11 +161,15 @@ def generate_pseudo3d_real_context(
     key=None,
     ddim_steps: Optional[int] = None,
     batch_size: Optional[int] = None,
+    mesh=None,
 ):
     """All slices of one subject conditioned on their REAL neighbors.
 
     Independent given real context ⇒ fully batched (the reference loops one
-    slice at a time). Returns (S, H, W, 4) in [-1, 1].
+    slice at a time). Returns (S, H, W, 4) in [-1, 1]. With ``mesh``, each
+    chunk is additionally sharded over the mesh's data axis (chunk sizes
+    are padded up to a multiple of the axis by the caller choosing
+    ``batch_size``; the final ragged chunk falls back to single-device).
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     idxs = _subject_slices(dataset, subject_idx)
@@ -143,11 +180,16 @@ def generate_pseudo3d_real_context(
     bs = batch_size or n
     outs = []
     for s0 in range(0, n, bs):
+        chunk = min(bs, n - s0)
+        use_mesh = (
+            mesh if mesh is not None and chunk % mesh.shape["data"] == 0 else None
+        )
         outs.append(
             conditional_sample_25d(
                 model, params, diffusion,
                 z_pos[s0 : s0 + bs], context[s0 : s0 + bs],
                 key=jax.random.fold_in(key, s0), ddim_steps=ddim_steps,
+                mesh=use_mesh,
             )
         )
     return jnp.concatenate(outs, axis=0)
@@ -218,21 +260,35 @@ def generate_3d_volumes(
     latent_scale: float = 1.0,
     key=None,
     ddim_steps: Optional[int] = None,
+    mesh=None,
 ):
     """Latent sample → unscale → VAE decode (`show_model.py:249-259`).
-    Returns (N, D, H, W, C) volumes in model space."""
+    Returns (N, D, H, W, C) volumes in model space. With ``mesh``, volumes
+    are sharded over the mesh's data axis — each chip denoises and decodes
+    its own shard with zero collectives (linear scaling over ICI)."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    shape = (num_volumes, *latent_spatial, latent_channels)
 
-    def model_fn(x, t):
-        return unet.apply(unet_params, x, t)
+    def _sample(ps, k, local):
+        up, vp = ps
+        shape = (local, *latent_spatial, latent_channels)
 
-    if ddim_steps is not None:
-        z = diffusion.ddim_sample(model_fn, shape, key, num_steps=ddim_steps)
-    else:
-        z = diffusion.p_sample_loop(model_fn, shape, key)
-    z = z / latent_scale
-    return vae.apply(vae_params, z, method="decode_from_latent")
+        def model_fn(x, t):
+            return unet.apply(up, x, t)
+
+        if ddim_steps is not None:
+            z = diffusion.ddim_sample(model_fn, shape, k, num_steps=ddim_steps)
+        else:
+            z = diffusion.p_sample_loop(model_fn, shape, k)
+        z = z / latent_scale
+        return vae.apply(vp, z, method="decode_from_latent")
+
+    if mesh is not None:
+        from mrijax.parallel.sampling import sharded_sample
+
+        return sharded_sample(
+            mesh, _sample, (unet_params, vae_params), key, num_volumes
+        )
+    return _sample((unet_params, vae_params), key, num_volumes)
 
 
 def latent_shape_for(vae, vae_params, volume_shape) -> tuple:

@@ -6,6 +6,7 @@ from mrijax.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from mrijax.parallel.sampling import sharded_sample
 from mrijax.parallel.sequence import sequence_parallel_attention
 from mrijax.parallel.multihost import (
     initialize,
@@ -19,6 +20,7 @@ __all__ = [
     "data_sharding",
     "replicated_sharding",
     "shard_batch",
+    "sharded_sample",
     "sequence_parallel_attention",
     "initialize",
     "broadcast_from_host0",

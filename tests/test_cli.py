@@ -59,6 +59,15 @@ def test_cli_train_info_sample_2d(brats_root, tmp_path, capsys):
     assert rc == 0
     assert (tmp_path / "sweep" / "sweep.nii.gz").exists()
 
+    # mesh-sharded sampling: 8 samples over the 8 virtual devices
+    rc = main([
+        "sample", "--run-dir", str(run_dir), "--mode", "grid",
+        "--num-samples", "8", "--ddim-steps", "5", "--data-parallel",
+        "--out-dir", str(tmp_path / "samples_dp"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "samples_dp" / "grid.png").exists()
+
 
 def test_cli_preprocess_and_split(brats_root, tmp_path, capsys):
     rc = main([
