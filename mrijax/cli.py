@@ -142,8 +142,12 @@ def cmd_sample(args):
     if getattr(args, "data_parallel", False):
         from mrijax.parallel import make_mesh
 
-        mesh = make_mesh(("data",))
-        print(f"[cli] data-parallel sampling over {mesh.shape['data']} devices")
+        if args.mode == "pseudo3d-hybrid":
+            print("[cli] note: pseudo3d-hybrid is sequential over slices "
+                  "(autoregressive); --data-parallel has no effect")
+        else:
+            mesh = make_mesh(("data",))
+            print(f"[cli] data-parallel sampling over {mesh.shape['data']} devices")
 
     if cfg.family in ("slice_cond_2d", "ddpm_25d"):
         model = build_unet2d(cfg.unet)
@@ -186,9 +190,18 @@ def cmd_sample(args):
                 cfg.data.root_dir, s, cfg.data.slice_radius
             )
             if args.mode == "pseudo3d-real":
+                # chunk at a multiple of the data axis so every full chunk
+                # shards; only the ragged tail runs single-device
+                bs = mesh.shape["data"] * 4 if mesh is not None else None
+                if mesh is not None:
+                    print(
+                        "[cli] pseudo3d-real: chunks of "
+                        f"{bs} shard over {mesh.shape['data']} devices "
+                        "(ragged tail, if any, runs on one device)"
+                    )
                 vol = generate.generate_pseudo3d_real_context(
                     model, params, diffusion, ds, args.subject, key=key,
-                    ddim_steps=args.ddim_steps, mesh=mesh,
+                    ddim_steps=args.ddim_steps, mesh=mesh, batch_size=bs,
                 )
             else:  # hybrid is inherently sequential over slices
                 vol = generate.generate_pseudo3d_hybrid(
@@ -445,7 +458,10 @@ def cmd_eval_seg(args):
     for p, t in pairs:
         pv = np.rint(nifti.load(p)).astype(np.int32)
         tv = np.rint(nifti.load(t)).astype(np.int32)
-        per_case[p.name] = {
+        # key by the relative path used for matching — bare filenames can
+        # collide across per-subject subdirectories
+        case = str(p.relative_to(pred)) if pred.is_dir() else p.name
+        per_case[case] = {
             "dice": dice_per_label(pv, tv, labels),
             "hd95": hd95_per_label(pv, tv, labels, spacing=spacing),
         }
@@ -722,7 +738,7 @@ def build_parser():
     s.add_argument("--out-dir", default=None)
     s.add_argument("--data-parallel", action="store_true",
                    help="shard the sampling batch over all devices "
-                        "(batch must divide the device count)")
+                        "(batch size must be a multiple of the device count)")
     s.set_defaults(fn=cmd_sample)
 
     e = sub.add_parser("eval", help="matched-condition generative eval")

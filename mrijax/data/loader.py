@@ -63,6 +63,13 @@ class BatchLoader:
     ):
         if batch_size <= 0:
             raise ValueError("batch_size must be positive")
+        pc = jax.process_count()
+        if pc > 1 and batch_size % pc:
+            raise ValueError(
+                f"batch_size {batch_size} is not divisible by "
+                f"process_count={pc}; every process must own the same "
+                "number of rows of each global batch"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -99,8 +106,22 @@ class BatchLoader:
             else np.arange(n)
         )
         nb = len(self)
+        pc = jax.process_count()
         for b in range(nb):
             chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if pc > 1 and len(chunk) % pc:
+                if len(chunk) == self.batch_size:
+                    # defense-in-depth: a FULL batch can only be indivisible
+                    # if process_count changed after construction
+                    raise ValueError(
+                        f"global batch of {len(chunk)} rows is not divisible "
+                        f"by process_count={pc}; pick a batch size that is a "
+                        "multiple of the process count (rows would otherwise "
+                        "be dropped silently)"
+                    )
+                # ragged FINAL batch (drop_last=False): trim to a multiple of
+                # the process count so every host owns equal rows
+                chunk = chunk[: (len(chunk) // pc) * pc]
             if len(chunk) == 0:
                 break
             yield chunk
@@ -109,14 +130,7 @@ class BatchLoader:
         pc, pi = jax.process_count(), jax.process_index()
         if pc == 1:
             return chunk
-        per, rem = divmod(len(chunk), pc)
-        if rem:
-            raise ValueError(
-                f"global batch of {len(chunk)} rows is not divisible by "
-                f"process_count={pc}; pick a batch size that is a multiple "
-                "of the process count (rows would otherwise be dropped "
-                "silently)"
-            )
+        per = len(chunk) // pc  # always exact (see _global_batches)
         return chunk[pi * per : (pi + 1) * per]
 
     def _materialize(self, chunk: np.ndarray):

@@ -41,6 +41,55 @@ from mrijax.data import nifti
 from mrijax.data.datasets import central_slice_range
 
 
+class _Lru:
+    """Tiny keyed LRU shared by the packed readers (one instance per
+    dataset; accessed from at most one BatchLoader prefetch thread)."""
+
+    def __init__(self, load_fn, size: int):
+        self._load_fn = load_fn
+        self._size = size
+        self._cache = OrderedDict()
+
+    def __call__(self, key):
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        val = self._load_fn(key)
+        self._cache[key] = val
+        if len(self._cache) > self._size:
+            self._cache.popitem(last=False)
+        return val
+
+
+def _iter_normalized_cases(root_dir, modalities=None):
+    """Yield ``(rel_path, (C, D, H, W) float32)`` for every complete BraTS
+    case under ``root_dir`` — decode, (H,W,D)→(D,H,W), per-modality
+    nonzero-z-score (the shared decode half of ``VolumeDataset3D``)."""
+    from mrijax.data.datasets import (
+        MODALITIES_3D,
+        VolumeDataset3D,
+        _zscore_nonzero_np,
+        load_volume,
+    )
+
+    root_dir = Path(root_dir)
+    finder = VolumeDataset3D.__new__(VolumeDataset3D)
+    finder.root_dir = root_dir
+    finder.modalities = tuple(modalities or MODALITIES_3D)
+    cases = finder._find_cases()
+    if not cases:
+        raise RuntimeError(f"no complete BraTS cases under {root_dir}")
+    for case_paths in cases:
+        chans = []
+        for p in case_paths:
+            vol = load_volume(p)
+            if vol.ndim == 4:
+                vol = vol[..., 0]
+            chans.append(_zscore_nonzero_np(np.transpose(vol, (2, 0, 1))))
+        rel = str(Path(case_paths[0]).relative_to(root_dir))
+        yield rel, np.stack(chans, axis=0)
+
+
 def preprocess_volume_to_arrays(
     path, image_size: int = 128, *, use_device: bool = True
 ):
@@ -113,23 +162,15 @@ class PackedSliceDataset:
         self.index_tuples = [
             (fi, si) for fi, (_, n) in enumerate(files) for si in range(n)
         ]
-        self._cache: "OrderedDict[int, dict]" = OrderedDict()
-        self._cache_size = cache_size
+        self._load = _Lru(self._read, cache_size)
 
     def __len__(self):
         return len(self.index_tuples)
 
-    def _load(self, file_idx: int) -> dict:
-        if file_idx in self._cache:
-            self._cache.move_to_end(file_idx)
-            return self._cache[file_idx]
+    def _read(self, file_idx: int) -> dict:
         path = self.packed_dir / self.files[file_idx][0]
         with np.load(path) as z:
-            data = {"slices": z["slices"], "z_pos": z["z_pos"]}
-        self._cache[file_idx] = data
-        if len(self._cache) > self._cache_size:
-            self._cache.popitem(last=False)
-        return data
+            return {"slices": z["slices"], "z_pos": z["z_pos"]}
 
     def __getitem__(self, idx: int):
         file_idx, slice_idx = self.index_tuples[idx]
@@ -148,31 +189,12 @@ def pack_volumes(root_dir, output_dir, *, modalities=None) -> dict:
     shape (C, D, H, W) float32 (the decode/normalize half of
     ``VolumeDataset3D.__getitem__``; pad/crop stay in the reader because the
     crop is per-epoch random)."""
-    from mrijax.data.datasets import (
-        MODALITIES_3D,
-        VolumeDataset3D,
-        _zscore_nonzero_np,
-        load_volume,
-    )
+    from mrijax.data.datasets import MODALITIES_3D
 
     modalities = tuple(modalities or MODALITIES_3D)
     root_dir, output_dir = Path(root_dir), Path(output_dir)
-    finder = VolumeDataset3D.__new__(VolumeDataset3D)
-    finder.root_dir = root_dir
-    finder.modalities = modalities
-    cases = finder._find_cases()
-    if not cases:
-        raise RuntimeError(f"no complete BraTS cases under {root_dir}")
     index = {"kind": "volumes3d", "modalities": list(modalities), "files": []}
-    for case_paths in cases:
-        chans = []
-        for p in case_paths:
-            vol = load_volume(p)
-            if vol.ndim == 4:
-                vol = vol[..., 0]
-            chans.append(_zscore_nonzero_np(np.transpose(vol, (2, 0, 1))))
-        packed = np.stack(chans, axis=0)  # (C, D, H, W)
-        rel = Path(case_paths[0]).relative_to(root_dir)
+    for rel, packed in _iter_normalized_cases(root_dir, modalities):
         out_path = (output_dir / rel).with_suffix("").with_suffix(".npz")
         out_path.parent.mkdir(parents=True, exist_ok=True)
         np.savez(out_path, volume=packed)
@@ -199,8 +221,7 @@ class PackedVolumeDataset:
         self.random_crop = random_crop
         self.seed = seed
         self.epoch = 0
-        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
-        self._cache_size = cache_size
+        self._load = _Lru(self._read, cache_size)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -208,16 +229,9 @@ class PackedVolumeDataset:
     def __len__(self):
         return len(self.files)
 
-    def _load(self, idx: int) -> np.ndarray:
-        if idx in self._cache:
-            self._cache.move_to_end(idx)
-            return self._cache[idx]
+    def _read(self, idx: int) -> np.ndarray:
         with np.load(self.packed_dir / self.files[idx]) as z:
-            vol = z["volume"]
-        self._cache[idx] = vol
-        if len(self._cache) > self._cache_size:
-            self._cache.popitem(last=False)
-        return vol
+            return z["volume"]
 
     def __getitem__(self, idx: int):
         from mrijax.data.preprocess import crop_volume, pad_volume_to_min
@@ -302,8 +316,7 @@ class PackedMultiModalDataset25D:
         for fi, f in enumerate(self.files):
             for z in central_slice_range(f["depth"], radius=slice_radius):
                 self.index_tuples.append((fi, z))
-        self._cache: "OrderedDict[int, dict]" = OrderedDict()
-        self._cache_size = cache_size
+        self._load = _Lru(self._read, cache_size)
 
     @property
     def context_channels(self) -> int:
@@ -312,17 +325,10 @@ class PackedMultiModalDataset25D:
     def __len__(self):
         return len(self.index_tuples)
 
-    def _load(self, fi: int) -> dict:
-        if fi in self._cache:
-            self._cache.move_to_end(fi)
-            return self._cache[fi]
+    def _read(self, fi: int) -> dict:
         with np.load(self.packed_dir / self.files[fi]["path"]) as z:
-            data = {"slices": z["slices"], "z_start": int(z["zs"][0]),
+            return {"slices": z["slices"], "z_start": int(z["zs"][0]),
                     "depth": int(z["depth"])}
-        self._cache[fi] = data
-        if len(self._cache) > self._cache_size:
-            self._cache.popitem(last=False)
-        return data
 
     def __getitem__(self, idx: int):
         fi, z = self.index_tuples[idx]
@@ -387,28 +393,7 @@ def pack_latents(
                 with np.load(src_dir / f["path"]) as z:
                     yield f["path"], z["volume"]  # (C, D, H, W)
         else:
-            from mrijax.data.datasets import (
-                MODALITIES_3D,
-                VolumeDataset3D,
-                _zscore_nonzero_np,
-                load_volume,
-            )
-
-            finder = VolumeDataset3D.__new__(VolumeDataset3D)
-            finder.root_dir = src_dir
-            finder.modalities = tuple(MODALITIES_3D)
-            cases = finder._find_cases()
-            if not cases:
-                raise RuntimeError(f"no complete BraTS cases under {src_dir}")
-            for case_paths in cases:
-                chans = []
-                for p in case_paths:
-                    vol = load_volume(p)
-                    if vol.ndim == 4:
-                        vol = vol[..., 0]
-                    chans.append(_zscore_nonzero_np(np.transpose(vol, (2, 0, 1))))
-                rel = str(Path(case_paths[0]).relative_to(src_dir))
-                yield rel, np.stack(chans, axis=0)
+            yield from _iter_normalized_cases(src_dir)
 
     from mrijax.data.preprocess import pad_volume_to_min
 
@@ -462,8 +447,7 @@ class PackedLatentDataset:
         self.random_crop = random_crop
         self.seed = seed
         self.epoch = 0
-        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
-        self._cache_size = cache_size
+        self._load = _Lru(self._read, cache_size)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -471,16 +455,9 @@ class PackedLatentDataset:
     def __len__(self):
         return len(self.files)
 
-    def _load(self, idx: int) -> np.ndarray:
-        if idx in self._cache:
-            self._cache.move_to_end(idx)
-            return self._cache[idx]
+    def _read(self, idx: int) -> np.ndarray:
         with np.load(self.packed_dir / self.files[idx]) as z:
-            lat = z["latent"]  # (Cz, d, h, w)
-        self._cache[idx] = lat
-        if len(self._cache) > self._cache_size:
-            self._cache.popitem(last=False)
-        return lat
+            return z["latent"]  # (Cz, d, h, w)
 
     def __getitem__(self, idx: int):
         from mrijax.data.preprocess import crop_volume, pad_volume_to_min

@@ -78,22 +78,24 @@ class FeatureExtractor:
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, image_size, image_size, 3)),
             )
+        # params travel as a jit ARGUMENT (never closed over): closed-over
+        # weights become HLO constants, which blow up remote TPU compiles
         self._embed = jax.jit(self._embed_impl)
 
     @property
     def dim(self) -> int:
         return self.net.widths[-1]
 
-    def _embed_impl(self, x):
+    def _embed_impl(self, params, x):
         # (B, H, W, 1|3) in [-1,1] → resize 299 → 3-channel → features
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)
         x = resize_bilinear(x, (self.image_size, self.image_size))
-        return self.net.apply(self.params, x)
+        return self.net.apply(params, x)
 
     def __call__(self, images) -> jnp.ndarray:
         """images: (B, H, W, C) float in [-1, 1] → (B, dim) float32."""
-        return self._embed(jnp.asarray(images, jnp.float32))
+        return self._embed(self.params, jnp.asarray(images, jnp.float32))
 
     def embed_batched(self, images, batch_size: int = 64) -> np.ndarray:
         out = []
@@ -162,17 +164,17 @@ class InceptionFeatureExtractor:
         self.params = _load_params(
             self.net, weights_path, params, [(1, image_size, image_size, 3)]
         )
-        self._embed = jax.jit(self._embed_impl)
+        self._embed = jax.jit(self._embed_impl)  # params passed per call
 
     dim = 2048
 
-    def _embed_impl(self, x):
+    def _embed_impl(self, params, x):
         x = _to_unit_rgb(x)
         x = resize_bilinear(x, (self.image_size, self.image_size))
-        return self.net.apply(self.params, _imagenet_normalize(x))
+        return self.net.apply(params, _imagenet_normalize(x))
 
     def __call__(self, images) -> jnp.ndarray:
-        return self._embed(jnp.asarray(images, jnp.float32))
+        return self._embed(self.params, jnp.asarray(images, jnp.float32))
 
     embed_batched = FeatureExtractor.embed_batched
 
@@ -189,15 +191,15 @@ class ResNet18FeatureExtractor:
         self.params = _load_params(
             self.net, weights_path, params, [(1, 64, 64, 3)]
         )
-        self._embed = jax.jit(self._embed_impl)
+        self._embed = jax.jit(self._embed_impl)  # params passed per call
 
     dim = 512
 
-    def _embed_impl(self, x):
-        return self.net.apply(self.params, _imagenet_normalize(_to_unit_rgb(x)))
+    def _embed_impl(self, params, x):
+        return self.net.apply(params, _imagenet_normalize(_to_unit_rgb(x)))
 
     def __call__(self, images) -> jnp.ndarray:
-        return self._embed(jnp.asarray(images, jnp.float32))
+        return self._embed(self.params, jnp.asarray(images, jnp.float32))
 
     embed_batched = FeatureExtractor.embed_batched
 
@@ -215,16 +217,16 @@ class LPIPSDistance:
         self.params = _load_params(
             self.net, weights_path, params, [(1, 64, 64, 3), (1, 64, 64, 3)]
         )
-        self._dist = jax.jit(self._dist_impl)
+        self._dist = jax.jit(self._dist_impl)  # params passed per call
 
-    def _dist_impl(self, x1, x2):
+    def _dist_impl(self, params, x1, x2):
         def rgb(x):
             return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
 
-        return self.net.apply(self.params, rgb(x1), rgb(x2))
+        return self.net.apply(params, rgb(x1), rgb(x2))
 
     def __call__(self, x1, x2) -> jnp.ndarray:
         """x1, x2: (B, H, W, C) in [-1, 1] → (B,) distances."""
         return self._dist(
-            jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32)
+            self.params, jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32)
         )

@@ -86,6 +86,11 @@ def evaluate_conditional_2d(
     bin_fake = [FidAccumulator(fe.dim) for _ in range(NUM_Z_BINS)]
     real_feats_all, fake_feats_all = [], []
     real_pool, fake_pool = [], []
+    # PR re-embeds raw images with its own extractor; its real pool must
+    # NOT inherit the memorization cap or precision/recall would compare
+    # ~2000 real vs num_samples fake manifolds
+    keep_pr_images = compute_pr and pr_feature_extractor is not None
+    real_pool_pr = []
 
     n_seen = 0
     t0 = time.time()
@@ -113,6 +118,8 @@ def evaluate_conditional_2d(
         fake_feats_all.append(ff)
         if len(real_pool) * real.shape[0] < memorization_pool:
             real_pool.append(real)
+        if keep_pr_images:
+            real_pool_pr.append(real)
         fake_pool.append(fake)
         if div_batch is None:
             div_batch = batch  # reuse the first batch's conditions
@@ -164,7 +171,7 @@ def evaluate_conditional_2d(
             # metrics.py:147-229) — PR runs on a different feature space
             # than FID by design
             prf = pr_feature_extractor
-            rfa_pr = prf.embed_batched(np.concatenate(real_pool))
+            rfa_pr = prf.embed_batched(np.concatenate(real_pool_pr))
             ffa_pr = prf.embed_batched(np.concatenate(fake_pool))
             p, r = improved_precision_recall(rfa_pr, ffa_pr)
             psfx = getattr(prf, "metric_suffix", "_rand")

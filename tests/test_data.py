@@ -281,11 +281,38 @@ def test_loader_propagates_set_epoch_through_views(brats_root):
 
 def test_loader_rejects_indivisible_multihost_batch(brats_root, monkeypatch):
     ds = SliceDataset2D(brats_root, image_size=16)
-    loader = BatchLoader(ds, 8, shuffle=False, drop_last=True, prefetch=0)
+    # full batch indivisible by process count: refused at construction
     monkeypatch.setattr(jax, "process_count", lambda: 3)
     monkeypatch.setattr(jax, "process_index", lambda: 0)
     with pytest.raises(ValueError, match="not divisible by"):
+        BatchLoader(ds, 8, shuffle=False, drop_last=True, prefetch=0)
+    # ...and at iteration time if process_count changed post-construction
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    loader = BatchLoader(ds, 8, shuffle=False, drop_last=True, prefetch=0)
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    with pytest.raises(ValueError, match="not divisible by"):
         next(iter(loader))
+
+
+def test_loader_trims_ragged_tail_multihost(brats_root, monkeypatch):
+    """drop_last=False with a ragged final batch: every process owns the
+    same number of rows (tail trimmed to a multiple of process_count, not a
+    crash — the full batches are validated at construction instead)."""
+    ds = SliceDataset2D(brats_root, image_size=16)
+    n = len(ds)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    bs = 8
+    loader = BatchLoader(ds, bs, shuffle=False, drop_last=False, prefetch=0)
+    sizes = [b["image"].shape[0] for b in loader]
+    # local rows per full batch = bs / 2; the tail is trimmed to a multiple
+    tail = n % bs
+    expected_full = n // bs
+    assert sizes[:expected_full] == [bs // 2] * expected_full
+    if tail >= 2:
+        assert sizes[expected_full] == tail // 2
+    else:
+        assert len(sizes) == expected_full
 
 
 def test_pack_volumes_bit_identical(brats_root, tmp_path):
