@@ -85,6 +85,9 @@ class TrainConfig:
     debug_max_steps: int = 5
     resume: bool = True
     num_devices: Optional[int] = None          # sub-mesh size (None = all)
+    nan_guard: bool = False                    # skip optimizer updates on
+                                               # non-finite loss/grads (the
+                                               # reference has no NaN guard)
     cache_latents: bool = False                # 3D LDM stage: precompute
                                                # frozen-VAE latents once and
                                                # train from latent crops

@@ -45,7 +45,7 @@ from mrijax.diffusion import (
 from mrijax.io import CheckpointManager
 from mrijax.models import UNet2D, UNet3D, VAE3D
 from mrijax.obs import MetricsLogger, install_signal_handlers
-from mrijax.parallel import make_mesh, replicated_sharding
+from mrijax.parallel import broadcast_from_host0, make_mesh, replicated_sharding
 from mrijax.train.state import create_train_state
 from mrijax.train.steps import (
     estimate_latent_scale,
@@ -222,7 +222,10 @@ def train_slice_cond_2d(cfg: ExperimentConfig, mesh=None, logger=None) -> Traine
         replicated_sharding(mesh),
     )
 
-    train_step = make_diffusion_train_step(model, diffusion, t_min=cfg.diffusion.t_min)
+    train_step = make_diffusion_train_step(
+        model, diffusion, t_min=cfg.diffusion.t_min,
+        nan_guard=cfg.train.nan_guard,
+    )
     eval_step = make_diffusion_eval_step(model, diffusion, t_min=cfg.diffusion.t_min)
     trainer = _trainer(
         cfg.train, ckpt_dir=f"{cfg.family}/{cfg.name}", logger=logger,
@@ -267,7 +270,10 @@ def train_ddpm_25d(cfg: ExperimentConfig, mesh=None, logger=None) -> TrainerResu
         replicated_sharding(mesh),
     )
 
-    train_step = make_diffusion_train_step(model, diffusion, t_min=cfg.diffusion.t_min)
+    train_step = make_diffusion_train_step(
+        model, diffusion, t_min=cfg.diffusion.t_min,
+        nan_guard=cfg.train.nan_guard,
+    )
     eval_step = make_diffusion_eval_step(model, diffusion, t_min=cfg.diffusion.t_min)
     trainer = _trainer(
         cfg.train, ckpt_dir=f"{cfg.family}/{cfg.name}", logger=logger,
@@ -317,7 +323,8 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
 
     vae_trainer = _trainer(
         cfg.vae_train, ckpt_dir=f"{cfg.family}/{cfg.name}/vae", logger=logger,
-        train_step=make_vae_train_step(vae, kl_weight=cfg.vae.kl_weight),
+        train_step=make_vae_train_step(vae, kl_weight=cfg.vae.kl_weight,
+                                       nan_guard=cfg.vae_train.nan_guard),
         eval_step=make_vae_eval_step(vae, kl_weight=cfg.vae.kl_weight),
         train_loader=train_loader, val_loader=val_loader, prefix="vae_",
     )
@@ -351,12 +358,18 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
                 or abs(old_fp - fp) > 1e-6 * max(1.0, abs(fp))
             )
         if needs_pack:
-            print(f"[3d_ldm] packing frozen-VAE latents -> {cache_dir}")
-            with mesh:
-                pack_latents(
-                    d.packed_dir or d.root_dir, cache_dir, vae, vae_params,
-                    downsample=f,
-                )
+            # multi-host: only process 0 writes the shared cache (np.savez
+            # is not atomic — concurrent writers would corrupt shards);
+            # the broadcast doubles as a barrier so other processes don't
+            # read a half-written cache
+            if jax.process_index() == 0:
+                print(f"[3d_ldm] packing frozen-VAE latents -> {cache_dir}")
+                with mesh:
+                    pack_latents(
+                        d.packed_dir or d.root_dir, cache_dir, vae, vae_params,
+                        downsample=f,
+                    )
+            broadcast_from_host0(1.0)
         lat_patch = tuple(p // f for p in d.patch_size)
         lat_ds = PackedLatentDataset(cache_dir, lat_patch, random_crop=True)
         # same split seed over the same case order => identical subject split
@@ -392,7 +405,8 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
 
     if use_cache:
         ldm_step = make_cached_latent_train_step(
-            unet, diffusion, t_min=cfg.diffusion.t_min
+            unet, diffusion, t_min=cfg.diffusion.t_min,
+            nan_guard=cfg.train.nan_guard,
         )
         ldm_eval = make_cached_latent_eval_step(unet, diffusion)
 
@@ -405,7 +419,8 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
 
     else:
         ldm_step = make_latent_diffusion_train_step(
-            unet, vae, diffusion, t_min=cfg.diffusion.t_min
+            unet, vae, diffusion, t_min=cfg.diffusion.t_min,
+            nan_guard=cfg.train.nan_guard,
         )
         ldm_eval = make_latent_diffusion_eval_step(unet, vae, diffusion)
 

@@ -30,11 +30,29 @@ def sample_timesteps(key, batch_size: int, timesteps: int, t_min: int = 0):
     return jax.random.randint(key, (batch_size,), t_min, timesteps)
 
 
+def apply_if_finite(state, grads, loss):
+    """Optimizer update skipped when the step went non-finite.
+
+    The reference has no NaN/Inf protection anywhere (SURVEY §5: "no NaN
+    guards") — one overflowing batch poisons the params permanently, and
+    under DDP the poison all-reduces to every rank. Here the update is
+    applied exactly when the loss AND every gradient leaf are finite; a
+    bad step leaves the params untouched and still reports its loss for
+    logging/alerting. Inside jit this is a `where`-select, not control
+    flow — zero recompilation, negligible cost next to the backward.
+    """
+    gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads))
+    ok = jnp.isfinite(loss) & jnp.isfinite(gsum)
+    new_state = state.apply_gradients(grads=grads)
+    return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_state, state), loss
+
+
 # --------------------------------------------------------------------- DDPM
 
 
 def make_diffusion_train_step(
-    model, diffusion: GaussianDiffusion, *, t_min: int = 0, donate: bool = True
+    model, diffusion: GaussianDiffusion, *, t_min: int = 0, donate: bool = True,
+    nan_guard: bool = False,
 ):
     """Train step for the 2D / 2.5D DDPMs.
 
@@ -56,6 +74,8 @@ def make_diffusion_train_step(
         t = sample_timesteps(tkey, b, diffusion.timesteps, t_min)
         noise = jax.random.normal(nkey, batch["image"].shape, jnp.float32)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, t, noise)
+        if nan_guard:
+            return apply_if_finite(state, grads, loss)
         state = state.apply_gradients(grads=grads)
         return state, loss
 
@@ -93,7 +113,8 @@ def vae_loss(recon, x, mu, logvar, kl_weight: float):
     return recon_loss + kl_weight * kl, (recon_loss, kl)
 
 
-def make_vae_train_step(vae, *, kl_weight: float = 1e-4, donate: bool = True):
+def make_vae_train_step(vae, *, kl_weight: float = 1e-4, donate: bool = True,
+                        nan_guard: bool = False):
     """batch: {"volume": (B, D, H, W, C)}."""
 
     def loss_fn(params, x, rng):
@@ -105,7 +126,10 @@ def make_vae_train_step(vae, *, kl_weight: float = 1e-4, donate: bool = True):
         (loss, (recon_loss, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch["volume"], key
         )
-        state = state.apply_gradients(grads=grads)
+        if nan_guard:
+            state, _ = apply_if_finite(state, grads, loss)
+        else:
+            state = state.apply_gradients(grads=grads)
         return state, {"loss": loss, "recon": recon_loss, "kl": kl}
 
     return train_step
@@ -144,7 +168,8 @@ def estimate_latent_scale(vae, vae_params, batches) -> float:
 
 
 def make_latent_diffusion_train_step(
-    unet, vae, diffusion: GaussianDiffusion, *, t_min: int = 1, donate: bool = True
+    unet, vae, diffusion: GaussianDiffusion, *, t_min: int = 1, donate: bool = True,
+    nan_guard: bool = False,
 ):
     """Stage-2 LDM step: frozen-VAE encode → scale → min-SNR diffusion loss.
 
@@ -166,6 +191,8 @@ def make_latent_diffusion_train_step(
         t = sample_timesteps(tkey, z.shape[0], diffusion.timesteps, t_min)
         noise = jax.random.normal(nkey, z.shape, jnp.float32)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, z, t, noise)
+        if nan_guard:
+            return apply_if_finite(state, grads, loss)
         state = state.apply_gradients(grads=grads)
         return state, loss
 
@@ -173,7 +200,8 @@ def make_latent_diffusion_train_step(
 
 
 def make_cached_latent_train_step(
-    unet, diffusion: GaussianDiffusion, *, t_min: int = 1, donate: bool = True
+    unet, diffusion: GaussianDiffusion, *, t_min: int = 1, donate: bool = True,
+    nan_guard: bool = False,
 ):
     """Stage-2 LDM step over PRECOMPUTED frozen-VAE latents.
 
@@ -206,6 +234,8 @@ def make_cached_latent_train_step(
         t = sample_timesteps(tkey, z.shape[0], diffusion.timesteps, t_min)
         noise = jax.random.normal(nkey, z.shape, jnp.float32)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, z, t, noise)
+        if nan_guard:
+            return apply_if_finite(state, grads, loss)
         state = state.apply_gradients(grads=grads)
         return state, loss
 
