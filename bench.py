@@ -71,13 +71,26 @@ def _mfu(flops, dt):
 
 
 def _init_on_cpu(model, *example_args):
-    """flax init executes the forward — run it on host CPU at a tiny spatial
-    size (params are spatial-size-agnostic) instead of eagerly through the
-    device tunnel. Pallas kernels are disabled inside the CPU region."""
+    """Parameter tree WITHOUT compiling the init forward: flax init is only
+    traced (jax.eval_shape — no XLA compile; a real init costs ~37 s of
+    1-core host CPU at these model sizes), then leaves are materialized as
+    seeded small-normal host values. Benchmark timing depends on shapes,
+    not values."""
+    import numpy as np
+
     from mrijax.kernels.dispatch import disable_pallas
 
-    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
-        params = model.init(jax.random.PRNGKey(0), *example_args)
+    with disable_pallas():
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), *example_args)
+        )
+    rng = np.random.default_rng(0)
+
+    def fill(sd):
+        vals = rng.standard_normal(sd.shape).astype(np.float32) * 0.02
+        return vals.astype(sd.dtype)
+
+    params = jax.tree.map(fill, shapes)
     return jax.device_put(params, jax.devices()[0])
 
 
