@@ -68,6 +68,19 @@ def test_cli_train_info_sample_2d(brats_root, tmp_path, capsys):
     assert rc == 0
     assert (tmp_path / "samples_dp" / "grid.png").exists()
 
+    # eval round-trip (matched-z protocol, sharded sampling)
+    out = tmp_path / "metrics.json"
+    rc = main([
+        "eval", "--run-dir", str(run_dir), "--num-samples", "8",
+        "--batch-size", "8", "--ddim-steps", "4", "--split", "all",
+        "--diversity-pairs", "2", "--data-parallel", "--out", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["num_samples"] == 8
+    assert np.isfinite(report["fid_rand"])
+    assert "diversity_ssim_mean" in report
+
 
 def test_cli_preprocess_and_split(brats_root, tmp_path, capsys):
     rc = main([
