@@ -52,8 +52,12 @@ def _flops_of(fn, *args):
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), args
     )
     try:
-        with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
-            ca = jax.jit(fn).lower(*specs).cost_analysis()
+        # backend="cpu" pins BOTH lowering and the analysis to the host CPU
+        # client — in an axon session, default_device alone still lowers
+        # for the TPU and cost_analysis then triggers a remote compile
+        # (minutes through the tunnel for the big remat steps)
+        with disable_pallas():
+            ca = jax.jit(fn, backend="cpu").lower(*specs).cost_analysis()
         flops = float((ca or {}).get("flops", 0.0))
         return flops if flops > 0 else None
     except Exception as e:  # analysis must never break the benchmark
@@ -233,12 +237,14 @@ def bench_train_step():
     }))
 
 
-def bench_train_step_cached(batch: int = 8):
+def bench_train_step_cached(batch: int = 32, remat: bool = True):
     """Tuned training path (``--train-cached``): the stage-2 LDM step on
-    PRECOMPUTED frozen-VAE latents at TPU-native batch size (PERF.md
-    "Train-step breakdown" — the frozen encode is 183 of 273 ms per step
-    and batching the latent UNet is near-free, so cache latents offline
-    via ``pack_latents`` and train at batch 8)."""
+    PRECOMPUTED frozen-VAE latents (``pack_latents``) at TPU-native batch
+    with gradient rematerialization. Measured ladder (PERF.md): batch 8
+    no-remat 17.8 vols/s; batch 16 no-remat falls off an HBM cliff
+    (5.0); remat restores it — batch 16 → 22.5, batch 32 → 25.8 (shipped),
+    batch 64 OOMs. With remat the reported ``step_tflops``/``mfu`` count
+    the recompute (hardware FLOPs, not model FLOPs)."""
     import numpy as np
 
     from mrijax.diffusion import GaussianDiffusion, cosine_beta_schedule, make_schedule
@@ -249,7 +255,7 @@ def bench_train_step_cached(batch: int = 8):
     on_tpu = jax.default_backend() == "tpu"
     unet_kw = dict(
         in_channels=16, base_channels=128, channel_mults=(1, 2, 4),
-        use_attention=True, num_heads=4, dtype=jnp.bfloat16,
+        use_attention=True, num_heads=4, dtype=jnp.bfloat16, remat=remat,
     )
     unet = UNet3D(use_flash_attention=on_tpu, **unet_kw)
     unet_init = UNet3D(use_flash_attention=False, **unet_kw)
@@ -291,7 +297,10 @@ def bench_train_step_cached(batch: int = 8):
     print(json.dumps({
         "metric": "3d_ldm_cached_train_throughput",
         "value": round(batch / dt, 3),
-        "unit": f"volumes/sec trained (batch {batch} cached latents 32x40x40x16, min-SNR + Adam)",
+        "unit": (
+            f"volumes/sec trained (batch {batch} cached latents "
+            f"32x40x40x16, min-SNR + Adam{', remat' if remat else ''})"
+        ),
         "vs_baseline": None,
         "sec_per_step": round(dt, 4),
         "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,

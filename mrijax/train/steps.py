@@ -211,10 +211,11 @@ def make_cached_latent_train_step(
     pure function of the data — encode each full volume ONCE offline
     (``mrijax.data.packing.pack_latents``) and train from latent crops.
     Measured on one v5e chip at flagship scale (PERF.md "Cached-latent
-    training"): encode-per-step at the reference's bs=1 trains 1.95
-    volumes/s; the cached step at batch 8 trains ~18 volumes/s (0.45
-    s/step, ~21% MFU) — the encode leaves the step entirely and batching
-    the small-latent UNet fills the MXU.
+    training"): encode-per-step at the reference's bs=1 trains 2.46
+    volumes/s; the cached step trains 17.8 vols/s at batch 8 and 25.5 at
+    batch 32 with ``unet.remat=True`` (10.5×) — the encode leaves the
+    step entirely, batching fills the MXU, and remat keeps batch ≥16
+    inside HBM.
 
     batch: {"latent": (B, d, h, w, Cz)} — raw (unscaled) VAE means.
     Identical math to ``make_latent_diffusion_train_step`` given the same
