@@ -71,6 +71,7 @@ def main() -> int:
     cfg.train.debug_fast = True
     cfg.train.debug_max_steps = 3
     cfg.train.cache_latents = True        # <- encode once, train from crops
+    cfg.data.latent_batch_size = 2        # stage-2 batch, independent of VAE
     cfg.train.nan_guard = True
     cfg.train.checkpoint_dir = str(out_dir / "ckpt")
 

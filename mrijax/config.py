@@ -29,6 +29,13 @@ class DataConfig:
     subsample_fraction: Optional[float] = None  # ref: ⅓ (2D), ¼ (2.5D)
     val_fraction: float = 0.1
     batch_size: int = 64
+    latent_batch_size: Optional[int] = None    # 3D stage-2 batch when
+                                               # cache_latents is on (latents
+                                               # are ~64x smaller than the
+                                               # volumes the VAE stage
+                                               # batches; 32 + unet.remat is
+                                               # the measured single-chip
+                                               # optimum, PERF.md)
     shuffle_seed: int = 0
     packed_dir: Optional[str] = None           # use packed npz shards if set
 

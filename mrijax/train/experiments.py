@@ -121,19 +121,26 @@ def build_vae3d(cfg: VAEConfig) -> VAE3D:
     )
 
 
-def _make_loaders(cfg: ExperimentConfig, dataset, mesh):
+def _make_loaders(cfg: ExperimentConfig, dataset, mesh, batch_size=None):
     d = cfg.data
+    batch_size = batch_size or d.batch_size
     if d.subsample_fraction:
         dataset = take_subset(dataset, fraction=d.subsample_fraction, seed=42)
     if cfg.train.debug_fast:
-        dataset = take_subset(dataset, max_items=max(4 * d.batch_size, 64), seed=42)
+        dataset = take_subset(dataset, max_items=max(4 * batch_size, 64), seed=42)
     train_ds, val_ds = split_dataset(dataset, d.val_fraction, seed=0)
+    if len(train_ds) < batch_size:
+        raise ValueError(
+            f"train split has {len(train_ds)} items < batch size {batch_size} "
+            "(drop_last would yield zero batches) — lower the batch size or "
+            "add data"
+        )
     train_loader = BatchLoader(
-        train_ds, d.batch_size, shuffle=True, drop_last=True,
+        train_ds, batch_size, shuffle=True, drop_last=True,
         seed=d.shuffle_seed, mesh=mesh,
     )
     val_loader = BatchLoader(
-        val_ds, d.batch_size, shuffle=False, drop_last=False, mesh=mesh
+        val_ds, batch_size, shuffle=False, drop_last=False, mesh=mesh
     )
     # drop_last=False can yield a final batch not divisible by the mesh;
     # keep validation simple by dropping it when sharded.
@@ -372,8 +379,12 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
             broadcast_from_host0(1.0)
         lat_patch = tuple(p // f for p in d.patch_size)
         lat_ds = PackedLatentDataset(cache_dir, lat_patch, random_crop=True)
-        # same split seed over the same case order => identical subject split
-        train_loader, val_loader = _make_loaders(cfg, lat_ds, mesh)
+        # same split seed over the same case order => identical subject split;
+        # stage 2 batches latents (64x smaller than volumes) so it gets its
+        # own batch size — 32 + unet.remat is the measured optimum (PERF.md)
+        train_loader, val_loader = _make_loaders(
+            cfg, lat_ds, mesh, batch_size=d.latent_batch_size
+        )
 
     # latent-scale estimation over ≤200 batches (replicated, deterministic)
     train_loader.set_epoch(0)

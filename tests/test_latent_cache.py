@@ -184,6 +184,9 @@ def test_train_3d_two_stage_cached(brats_root, tmp_path):
         **{
             "name": "t3dc",
             "data.batch_size": 2,
+            # stage 2 batches latents independently of the VAE stage (tiny
+            # dataset: 2 train latents, mesh of 2 -> batch 2 is the max)
+            "data.latent_batch_size": 2,
             "data.patch_size": (8, 16, 16),
             "data.val_fraction": 0.34,
             "vae.base_channels": 8,
