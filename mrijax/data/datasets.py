@@ -229,6 +229,37 @@ class MultiModalSliceDataset25D:
         return {"image": center, "context": context, "z_pos": z_pos}
 
 
+def find_brats_cases(root_dir, modalities=None):
+    """Complete BraTS cases under ``root_dir``: tuples of per-modality NIfTI
+    paths, anchored on `*_flair.nii.gz` with string-replace for the siblings
+    (reference case discovery, `ddpm_3d_ldm/dataset.py:140-155`)."""
+    from pathlib import Path as _Path
+
+    modalities = tuple(modalities or MODALITIES_3D)
+    cases = []
+    for flair_path in sorted(_Path(root_dir).rglob("*_flair.nii.gz")):
+        base = str(flair_path).replace("_flair.nii.gz", "")
+        paths = {m: _Path(base + f"_{m}.nii.gz") for m in modalities}
+        paths["flair"] = _Path(flair_path)
+        if all(p.exists() for p in paths.values()):
+            cases.append(tuple(paths[m] for m in modalities))
+    return cases
+
+
+def load_normalized_case(case_paths) -> np.ndarray:
+    """Decode one case's modalities → (C, D, H, W) float32: squeeze a 4th
+    NIfTI dim, (H,W,D)→(D,H,W), per-modality nonzero z-score — the shared
+    decode half of ``VolumeDataset3D.__getitem__`` (pad/crop stay with the
+    reader because the crop is per-epoch random)."""
+    chans = []
+    for p in case_paths:
+        vol = load_volume(p)
+        if vol.ndim == 4:
+            vol = vol[..., 0]
+        chans.append(_zscore_nonzero_np(np.transpose(vol, (2, 0, 1))))
+    return np.stack(chans, axis=0)
+
+
 class VolumeDataset3D:
     """(D, H, W, 4) normalized patches; random (train) or center (val) crop."""
 
@@ -246,7 +277,7 @@ class VolumeDataset3D:
         self.modalities = tuple(modalities)
         self.seed = seed
         self.epoch = 0
-        self.cases = self._find_cases()
+        self.cases = find_brats_cases(self.root_dir, self.modalities)
         if not self.cases:
             raise ValueError(f"no complete BraTS cases under {root_dir}")
 
@@ -257,28 +288,11 @@ class VolumeDataset3D:
         shared mutable stream would desynchronize from sample identity)."""
         self.epoch = epoch
 
-    def _find_cases(self):
-        cases = []
-        for flair_path in sorted(self.root_dir.rglob("*_flair.nii.gz")):
-            base = str(flair_path).replace("_flair.nii.gz", "")
-            paths = {m: Path(base + f"_{m}.nii.gz") for m in self.modalities}
-            paths["flair"] = Path(flair_path)
-            if all(p.exists() for p in paths.values()):
-                cases.append(tuple(paths[m] for m in self.modalities))
-        return cases
-
     def __len__(self):
         return len(self.cases)
 
     def __getitem__(self, idx: int):
-        chans = []
-        for p in self.cases[idx]:
-            vol = load_volume(p)
-            if vol.ndim == 4:
-                vol = vol[..., 0]
-            vol = np.transpose(vol, (2, 0, 1))  # (H, W, D) → (D, H, W)
-            chans.append(_zscore_nonzero_np(vol))
-        vol = np.stack(chans, axis=0)  # (4, D, H, W)
+        vol = load_normalized_case(self.cases[idx])  # (4, D, H, W)
         vol = pad_volume_to_min(vol, self.patch_size)
         rng = (
             np.random.default_rng((self.seed, self.epoch, idx))

@@ -63,31 +63,18 @@ class _Lru:
 
 def _iter_normalized_cases(root_dir, modalities=None):
     """Yield ``(rel_path, (C, D, H, W) float32)`` for every complete BraTS
-    case under ``root_dir`` — decode, (H,W,D)→(D,H,W), per-modality
-    nonzero-z-score (the shared decode half of ``VolumeDataset3D``)."""
-    from mrijax.data.datasets import (
-        MODALITIES_3D,
-        VolumeDataset3D,
-        _zscore_nonzero_np,
-        load_volume,
-    )
+    case under ``root_dir`` (``find_brats_cases`` + ``load_normalized_case``
+    — exactly the ``VolumeDataset3D`` decode, so packed samples stay
+    bit-identical to direct reads)."""
+    from mrijax.data.datasets import find_brats_cases, load_normalized_case
 
     root_dir = Path(root_dir)
-    finder = VolumeDataset3D.__new__(VolumeDataset3D)
-    finder.root_dir = root_dir
-    finder.modalities = tuple(modalities or MODALITIES_3D)
-    cases = finder._find_cases()
+    cases = find_brats_cases(root_dir, modalities)
     if not cases:
         raise RuntimeError(f"no complete BraTS cases under {root_dir}")
     for case_paths in cases:
-        chans = []
-        for p in case_paths:
-            vol = load_volume(p)
-            if vol.ndim == 4:
-                vol = vol[..., 0]
-            chans.append(_zscore_nonzero_np(np.transpose(vol, (2, 0, 1))))
         rel = str(Path(case_paths[0]).relative_to(root_dir))
-        yield rel, np.stack(chans, axis=0)
+        yield rel, load_normalized_case(case_paths)
 
 
 def preprocess_volume_to_arrays(
