@@ -242,7 +242,7 @@ def bench_train_step_cached(batch: int = 32, remat: bool = True):
     PRECOMPUTED frozen-VAE latents (``pack_latents``) at TPU-native batch
     with gradient rematerialization. Measured ladder (PERF.md): batch 8
     no-remat 17.8 vols/s; batch 16 no-remat falls off an HBM cliff
-    (5.0); remat restores it — batch 16 → 22.5, batch 32 → 25.8 (shipped),
+    (5.0); remat restores it — batch 16 → 22.5, batch 32 → 25.5 (shipped),
     batch 64 OOMs. With remat the reported ``step_tflops``/``mfu`` count
     the recompute (hardware FLOPs, not model FLOPs)."""
     import numpy as np

@@ -190,18 +190,16 @@ def cmd_sample(args):
                 cfg.data.root_dir, s, cfg.data.slice_radius
             )
             if args.mode == "pseudo3d-real":
-                # chunk at a multiple of the data axis so every full chunk
-                # shards; only the ragged tail runs single-device
-                bs = mesh.shape["data"] * 4 if mesh is not None else None
                 if mesh is not None:
                     print(
                         "[cli] pseudo3d-real: chunks of "
-                        f"{bs} shard over {mesh.shape['data']} devices "
-                        "(ragged tail, if any, runs on one device)"
+                        f"{mesh.shape['data'] * 4} shard over "
+                        f"{mesh.shape['data']} devices (ragged tail, if "
+                        "any, runs on one device)"
                     )
                 vol = generate.generate_pseudo3d_real_context(
                     model, params, diffusion, ds, args.subject, key=key,
-                    ddim_steps=args.ddim_steps, mesh=mesh, batch_size=bs,
+                    ddim_steps=args.ddim_steps, mesh=mesh,
                 )
             else:  # hybrid is inherently sequential over slices
                 vol = generate.generate_pseudo3d_hybrid(

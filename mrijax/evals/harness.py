@@ -86,11 +86,13 @@ def evaluate_conditional_2d(
     bin_fake = [FidAccumulator(fe.dim) for _ in range(NUM_Z_BINS)]
     real_feats_all, fake_feats_all = [], []
     real_pool, fake_pool = [], []
-    # PR re-embeds raw images with its own extractor; its real pool must
-    # NOT inherit the memorization cap or precision/recall would compare
-    # ~2000 real vs num_samples fake manifolds
-    keep_pr_images = compute_pr and pr_feature_extractor is not None
-    real_pool_pr = []
+    # PR runs on its own feature space (ResNet18); embed each real batch as
+    # it streams by and keep only the feature vectors — the real side must
+    # NOT inherit the memorization cap (precision/recall would compare
+    # ~2000 real vs num_samples fake manifolds), and holding raw images
+    # instead of features would cost GBs at large num_samples
+    embed_pr = compute_pr and pr_feature_extractor is not None
+    real_feats_pr = []
 
     n_seen = 0
     t0 = time.time()
@@ -118,8 +120,8 @@ def evaluate_conditional_2d(
         fake_feats_all.append(ff)
         if len(real_pool) * real.shape[0] < memorization_pool:
             real_pool.append(real)
-        if keep_pr_images:
-            real_pool_pr.append(real)
+        if embed_pr:
+            real_feats_pr.append(np.asarray(pr_feature_extractor(real)))
         fake_pool.append(fake)
         if div_batch is None:
             div_batch = batch  # reuse the first batch's conditions
@@ -171,7 +173,7 @@ def evaluate_conditional_2d(
             # metrics.py:147-229) — PR runs on a different feature space
             # than FID by design
             prf = pr_feature_extractor
-            rfa_pr = prf.embed_batched(np.concatenate(real_pool_pr))
+            rfa_pr = np.concatenate(real_feats_pr)
             ffa_pr = prf.embed_batched(np.concatenate(fake_pool))
             p, r = improved_precision_recall(rfa_pr, ffa_pr)
             psfx = getattr(prf, "metric_suffix", "_rand")

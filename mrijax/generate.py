@@ -167,9 +167,9 @@ def generate_pseudo3d_real_context(
 
     Independent given real context ⇒ fully batched (the reference loops one
     slice at a time). Returns (S, H, W, 4) in [-1, 1]. With ``mesh``, each
-    chunk is additionally sharded over the mesh's data axis (chunk sizes
-    are padded up to a multiple of the axis by the caller choosing
-    ``batch_size``; the final ragged chunk falls back to single-device).
+    chunk is sharded over the mesh's data axis; the default ``batch_size``
+    is then a multiple of the axis (4 slices/device) so every full chunk
+    shards and only the ragged tail falls back to single-device.
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     idxs = _subject_slices(dataset, subject_idx)
@@ -177,7 +177,9 @@ def generate_pseudo3d_real_context(
     context = jnp.stack([s["context"] for s in samples])
     z_pos = jnp.asarray([s["z_pos"] for s in samples])
     n = len(idxs)
-    bs = batch_size or n
+    if batch_size is None:
+        batch_size = mesh.shape["data"] * 4 if mesh is not None else n
+    bs = batch_size
     outs = []
     for s0 in range(0, n, bs):
         chunk = min(bs, n - s0)

@@ -15,6 +15,7 @@ build one automatically.
 """
 
 import json
+import traceback
 from pathlib import Path
 from typing import Optional
 
@@ -123,7 +124,8 @@ def build_vae3d(cfg: VAEConfig) -> VAE3D:
 
 def _make_loaders(cfg: ExperimentConfig, dataset, mesh, batch_size=None):
     d = cfg.data
-    batch_size = batch_size or d.batch_size
+    if batch_size is None:  # not `or`: an explicit 0 must hit the
+        batch_size = d.batch_size  # "must be positive" error, not fall back
     if d.subsample_fraction:
         dataset = take_subset(dataset, fraction=d.subsample_fraction, seed=42)
     if cfg.train.debug_fast:
@@ -364,19 +366,48 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
                 old_fp is None
                 or abs(old_fp - fp) > 1e-6 * max(1.0, abs(fp))
             )
+        # Multi-host: only process 0 writes the cache (np.savez is not
+        # atomic — concurrent writers would corrupt shards). The DECISION is
+        # host 0's, broadcast so every process enters the same collectives
+        # even if a stale filesystem view made needs_pack diverge; the same
+        # broadcast then reports pack success (0.0 = host 0 failed) and
+        # doubles as the barrier before readers open the cache. cache_dir
+        # (under train.checkpoint_dir) must be on a SHARED filesystem in
+        # multi-host runs — checked explicitly below.
+        multihost = jax.process_count() > 1
+        if multihost:
+            needs_pack = broadcast_from_host0(float(needs_pack)) > 0.5
         if needs_pack:
-            # multi-host: only process 0 writes the shared cache (np.savez
-            # is not atomic — concurrent writers would corrupt shards);
-            # the broadcast doubles as a barrier so other processes don't
-            # read a half-written cache
+            ok = 1.0
             if jax.process_index() == 0:
                 print(f"[3d_ldm] packing frozen-VAE latents -> {cache_dir}")
-                with mesh:
-                    pack_latents(
-                        d.packed_dir or d.root_dir, cache_dir, vae, vae_params,
-                        downsample=f,
+                try:
+                    # encode on a LOCAL device: vae_params live replicated on
+                    # the global mesh, which process 0 cannot dispatch alone
+                    local_params = jax.device_put(
+                        vae_params, jax.local_devices()[0]
                     )
-            broadcast_from_host0(1.0)
+                    pack_latents(
+                        d.packed_dir or d.root_dir, cache_dir, vae,
+                        local_params, downsample=f,
+                    )
+                except Exception:
+                    ok = 0.0
+                    if not multihost:
+                        raise
+                    traceback.print_exc()
+            if multihost:
+                ok = broadcast_from_host0(ok)
+                if ok < 0.5:
+                    raise RuntimeError(
+                        "latent packing failed on process 0 (see its log)"
+                    )
+        if not idx_path.exists():
+            raise RuntimeError(
+                f"latent cache index {idx_path} is not visible on process "
+                f"{jax.process_index()} — train.checkpoint_dir must be on a "
+                "filesystem shared by all hosts when cache_latents is on"
+            )
         lat_patch = tuple(p // f for p in d.patch_size)
         lat_ds = PackedLatentDataset(cache_dir, lat_patch, random_crop=True)
         # same split seed over the same case order => identical subject split;
