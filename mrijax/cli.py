@@ -342,14 +342,9 @@ def cmd_eval(args):
     paths = {ds.volume_paths[i] for i in vols}
     keep = [i for i, (p, _) in enumerate(ds.slice_tuples) if p in paths]
 
-    class _View:
-        def __len__(self):
-            return len(keep)
+    from mrijax.data.loader import _IndexView
 
-        def __getitem__(self, i):
-            return ds[keep[i]]
-
-    loader = BatchLoader(_View(), args.batch_size, shuffle=False, drop_last=True,
+    loader = BatchLoader(_IndexView(ds, keep), args.batch_size, shuffle=False, drop_last=True,
                          prefetch=0)
 
     # --data-parallel: shard the dominant eval cost (matched-condition

@@ -96,7 +96,11 @@ class BatchLoader:
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        full, tail = divmod(n, self.batch_size)
+        pc = jax.process_count()
+        if pc > 1:
+            tail = (tail // pc) * pc  # the ragged tail is trimmed per-host
+        return full + (1 if tail else 0)
 
     def _global_batches(self) -> Iterator[np.ndarray]:
         n = len(self.dataset)
@@ -121,7 +125,14 @@ class BatchLoader:
                     )
                 # ragged FINAL batch (drop_last=False): trim to a multiple of
                 # the process count so every host owns equal rows
-                chunk = chunk[: (len(chunk) // pc) * pc]
+                dropped = len(chunk) % pc
+                chunk = chunk[: len(chunk) - dropped]
+                if dropped and jax.process_index() == 0:
+                    print(
+                        f"[loader] multi-host: dropping {dropped} tail row(s) "
+                        f"of the final ragged batch (not divisible by "
+                        f"process_count={pc})"
+                    )
             if len(chunk) == 0:
                 break
             yield chunk
@@ -148,29 +159,74 @@ class BatchLoader:
                 yield self._materialize(chunk)
             return
 
+        # Bounded prefetch with a clean-shutdown contract: the consumer may
+        # abandon iteration at any point (debug_max_steps, preemption, an
+        # exception in train_step) — the generator's finally block then sets
+        # the stop event and DRAINS the queue so the producer's blocked
+        # q.put wakes up, sees the event, and exits instead of leaking a
+        # thread that pins `prefetch` materialized device batches forever.
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         error = []
 
         def producer():
             try:
                 for chunk in self._global_batches():
-                    q.put(self._materialize(chunk))
+                    item = self._materialize(chunk)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surfaced in the consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                while not stop.is_set():  # consumer stops on event otherwise
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if error:
-            raise error[0]
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            t.join()
+            if error:
+                raise error[0]
+        finally:
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
+
+
+class _IndexView:
+    """Read-only view of a dataset through an index array (shared by
+    ``take_subset`` and ``split_dataset``; ``BatchLoader.set_epoch``
+    propagates through the ``dataset`` attribute)."""
+
+    def __init__(self, ds, indices):
+        self.dataset = ds
+        self.indices = indices
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i])]
 
 
 def take_subset(dataset, fraction: Optional[float] = None, max_items: Optional[int] = None, seed: int = 42):
@@ -184,19 +240,7 @@ def take_subset(dataset, fraction: Optional[float] = None, max_items: Optional[i
     if max_items is not None:
         k = min(k, max_items)
     idx = np.random.default_rng(seed).permutation(n)[:k]
-
-    class _Subset:
-        def __init__(self, ds, indices):
-            self.dataset = ds
-            self.indices = indices
-
-        def __len__(self):
-            return len(self.indices)
-
-        def __getitem__(self, i):
-            return self.dataset[int(self.indices[i])]
-
-    return _Subset(dataset, idx)
+    return _IndexView(dataset, idx)
 
 
 def split_dataset(dataset, val_fraction: float = 0.1, seed: int = 0):
@@ -206,16 +250,4 @@ def split_dataset(dataset, val_fraction: float = 0.1, seed: int = 0):
     idx = np.random.default_rng(seed).permutation(n)
     n_val = int(n * val_fraction)
     val_idx, train_idx = idx[:n_val], idx[n_val:]
-
-    class _View:
-        def __init__(self, ds, indices):
-            self.dataset = ds
-            self.indices = indices
-
-        def __len__(self):
-            return len(self.indices)
-
-        def __getitem__(self, i):
-            return self.dataset[int(self.indices[i])]
-
-    return _View(dataset, train_idx), _View(dataset, val_idx)
+    return _IndexView(dataset, train_idx), _IndexView(dataset, val_idx)

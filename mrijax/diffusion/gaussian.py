@@ -216,6 +216,8 @@ class GaussianDiffusion:
             x_t = jax.random.normal(key, shape, jnp.float32)
         b = shape[0]
         seq = self.ddim_timestep_sequence(num_steps, start_t)
+        if len(seq) == 0:  # start_t=0: nothing to denoise (valid sweep edge)
+            return x_t
         # Last transition: reference semantics end at the t=0 schedule entry
         # (`sample_from_ddim` loops down to i=1 with t_prev=i-1=0);
         # to_x0=True instead finishes with a true ᾱ_prev=1 step.

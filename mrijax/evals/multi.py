@@ -112,14 +112,9 @@ def _evaluate_one(rc: dict, fe: FeatureExtractor, out_path: Path) -> dict:
     paths = {ds.volume_paths[i] for i in vols}
     keep = [i for i, (p, _) in enumerate(ds.slice_tuples) if p in paths]
 
-    class _View:
-        def __len__(self):
-            return len(keep)
+    from mrijax.data.loader import _IndexView
 
-        def __getitem__(self, i):
-            return ds[keep[i]]
-
-    loader = BatchLoader(_View(), rc.get("batch_size", 32), shuffle=False,
+    loader = BatchLoader(_IndexView(ds, keep), rc.get("batch_size", 32), shuffle=False,
                          drop_last=True, prefetch=0)
     ddim_steps = rc.get("ddim_steps")
 

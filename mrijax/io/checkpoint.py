@@ -21,6 +21,7 @@ single-file export (the ``.pt`` analog) for shipping weights to inference.
 """
 
 import json
+import os
 from pathlib import Path
 from typing import Any, Optional
 
@@ -64,24 +65,40 @@ class CheckpointManager:
     def _best_record(self) -> dict:
         p = self.directory / "best.json"
         if p.exists():
-            return json.loads(p.read_text())
+            try:
+                return json.loads(p.read_text())
+            except json.JSONDecodeError:
+                # a pre-atomic-write crash may have left a truncated file;
+                # treat as "no record" rather than poisoning every
+                # subsequent save/restore
+                return {}
         return {}
 
     def save(self, step: int, state, extra: Optional[dict] = None, metrics: Optional[dict] = None):
-        args = {"state": ocp.args.StandardSave(state)}
-        if extra is not None:
-            args["extra"] = ocp.args.JsonSave(_jsonify(extra))
+        # extra is always saved (possibly empty) so restore() can always
+        # request it — a checkpoint without the item would make the
+        # Composite restore raise instead of returning None
+        args = {
+            "state": ocp.args.StandardSave(state),
+            "extra": ocp.args.JsonSave(_jsonify(extra or {})),
+        }
         self._mgr.save(step, args=ocp.args.Composite(**args))
         metrics = metrics or {}
         if self._best_mgr and self.best_key in metrics:
             val = float(metrics[self.best_key])
             rec = self._best_record()
             if not rec or val < rec["value"]:
+                # the orbax save is a collective — every process enters it;
+                # the tracking file is host 0's alone, written atomically
+                # (tmp + rename) so a preemption kill mid-write cannot
+                # leave truncated JSON
                 self._best_mgr.save(step, args=ocp.args.Composite(**args))
                 self._best_mgr.wait_until_finished()
-                (self.directory / "best.json").write_text(
-                    json.dumps({"step": step, "value": val})
-                )
+                if jax.process_index() == 0:
+                    p = self.directory / "best.json"
+                    tmp = p.with_suffix(".json.tmp")
+                    tmp.write_text(json.dumps({"step": step, "value": val}))
+                    os.replace(tmp, p)
 
     def wait(self):
         self._mgr.wait_until_finished()

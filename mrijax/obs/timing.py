@@ -32,8 +32,16 @@ def busy_seconds() -> float:
 
 
 class StepTimer:
-    """Accumulates step wall-times; call ``start()`` then ``stop(result)``
-    with a device array to block on (avoids measuring dispatch only)."""
+    """Accumulates step wall-times without forcing a device sync.
+
+    Async-dispatch-honest usage (the trainer's): ``start()``/``stop()``
+    around each dispatch, then ``finalize()`` AFTER a value readback has
+    forced all queued steps to complete — it stretches the accumulated
+    time to the true first-dispatch→completion wall, so ``steps_per_s``
+    measures device execution rather than dispatch. (A per-step
+    ``block_until_ready`` would serialize host and device — and does not
+    reliably block through the axon TPU tunnel anyway.) ``stop(block_on=x)``
+    remains available for synchronous micro-timing."""
 
     def __init__(self):
         self.reset()
@@ -42,9 +50,12 @@ class StepTimer:
         self.num_steps = 0
         self.total_s = 0.0
         self._t0 = None
+        self._first = None
 
     def start(self):
         self._t0 = time.perf_counter()
+        if self._first is None:
+            self._first = self._t0
 
     def stop(self, block_on=None):
         if block_on is not None:
@@ -54,6 +65,18 @@ class StepTimer:
         self.total_s += dt
         add_busy_seconds(dt)
         return dt
+
+    def finalize(self):
+        """Call after the timed work's results have been READ BACK (the
+        reliable completion signal on the axon tunnel): extends the
+        accumulated time to cover device work that was still in flight
+        when the per-step ``stop()`` calls returned."""
+        if self._first is None:
+            return
+        wall = time.perf_counter() - self._first
+        if wall > self.total_s:
+            add_busy_seconds(wall - self.total_s)
+            self.total_s = wall
 
     @property
     def steps_per_s(self) -> float:

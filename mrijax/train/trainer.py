@@ -9,10 +9,15 @@ Replaces the three copy-pasted ~400-line training loops of the reference
 * validation each epoch + ReduceLROnPlateau + early stopping (reference
   parity: factor 0.5/patience 3, stop patience 4),
 * orbax checkpointing of the FULL train state with best-by-val policy and
-  true resume (epoch, RNG, scheduler counters — none of which the
-  reference persists),
+  true resume (epoch, scheduler counters — none of which the reference
+  persists; step RNG needs no persistence because every key is derived
+  from (seed, epoch, step), so a resumed run draws exactly what the
+  uninterrupted run would have),
 * preemption handling: polls the SIGUSR1/SIGTERM flag between steps and
-  epochs, checkpoints and finalizes before exit,
+  epochs (multi-host: a consensus collective at fixed step boundaries so
+  all hosts stop together), checkpoints and finalizes before exit; an
+  epoch interrupted mid-way is re-run on resume rather than silently
+  counted as trained,
 * steps/s + epoch-time + device-memory telemetry to the metrics logger,
 * DEBUG_FAST smoke mode (step-capped epochs), formalized from the
   reference's ad-hoc flag (`train.py:61`).
@@ -68,6 +73,7 @@ class Trainer:
         metric_prefix: str = "",
         checkpoint_extra: Optional[Callable[[], dict]] = None,
         resume: bool = True,
+        preempt_sync_every: int = 32,
     ):
         self.train_step = train_step
         self.eval_step = eval_step
@@ -89,6 +95,7 @@ class Trainer:
         self.prefix = metric_prefix
         self.checkpoint_extra = checkpoint_extra or (lambda: {})
         self.resume = resume
+        self.preempt_sync_every = preempt_sync_every
         self.start_epoch = 0
         self.global_step = 0
 
@@ -99,7 +106,11 @@ class Trainer:
             return state
         state, extra = self.ckpt.restore(state)
         extra = extra or {}
-        self.start_epoch = int(extra.get("epoch", -1)) + 1
+        epoch = int(extra.get("epoch", -1))
+        # an epoch interrupted mid-way (preemption checkpoint) is re-run in
+        # full — its remaining batches were never trained; per-(epoch, step)
+        # RNG and the seeded permutation make the re-run deterministic
+        self.start_epoch = epoch + 1 if extra.get("epoch_complete", True) else epoch
         self.global_step = int(extra.get("global_step", 0))
         self.scheduler.best = float(extra.get("sched_best", float("inf")))
         self.scheduler.num_bad = int(extra.get("sched_num_bad", 0))
@@ -115,34 +126,57 @@ class Trainer:
         if self.logger is not None:
             self.logger.log_metric(self.prefix + key, value, step)
 
+    def _should_stop(self, step_index: Optional[int] = None) -> bool:
+        """Preemption poll. Single process: the host-local flag, every step.
+        Multi-host: the flag must become a CONSENSUS before anyone breaks —
+        a host leaving the step loop alone while others issue the next
+        step's collectives deadlocks the mesh — so the allgather vote runs
+        at fixed step boundaries (every ``preempt_sync_every`` steps) and
+        at the epoch edge (``step_index=None``), points every host reaches
+        together."""
+        if jax.process_count() == 1:
+            return should_terminate()
+        if step_index is not None and (step_index + 1) % self.preempt_sync_every:
+            return False  # between consensus points: never break alone
+        from mrijax.parallel import any_process_flagged
+
+        return any_process_flagged(should_terminate())
+
     # --------------------------------------------------------------- loop
     def fit(self, state) -> TrainerResult:
         if self.resume:
             state = self.try_resume(state)
-        key = jax.random.PRNGKey(self.seed)
+        # every key derives from (seed, stream, epoch, step): streams stay
+        # independent, and resume reproduces the uninterrupted run's draws
+        # without persisting RNG state
+        base_train = jax.random.fold_in(jax.random.PRNGKey(self.seed), 0)
+        base_val = jax.random.fold_in(jax.random.PRNGKey(self.seed), 1)
         preempted = False
         stopped_early = False
         epoch = self.start_epoch - 1
 
         for epoch in range(self.start_epoch, self.epochs):
             self.train_loader.set_epoch(epoch)
+            epoch_train = jax.random.fold_in(base_train, epoch)
+            epoch_val = jax.random.fold_in(base_val, epoch)
             timer = StepTimer()
             losses = []
             t_epoch = time.time()
             for i, batch in enumerate(self.train_loader):
                 if self.debug_max_steps is not None and i >= self.debug_max_steps:
                     break
-                key, sub = jax.random.split(key)
                 timer.start()
-                state, loss = self.train_step(state, batch, sub)
+                state, loss = self.train_step(
+                    state, batch, jax.random.fold_in(epoch_train, i)
+                )
                 if isinstance(loss, dict):  # e.g. VAE step returns metrics
                     loss = loss["loss"]
-                timer.stop(block_on=loss)
+                timer.stop()  # no block: losses are fetched once, below
                 losses.append(loss)  # device scalar; fetched at epoch end
                 self.global_step += 1
                 if (i + 1) % self.log_every_steps == 0:
                     self._log("train_loss_step", _scalar(loss), self.global_step)
-                if should_terminate():
+                if self._should_stop(i):
                     preempted = True
                     break
 
@@ -153,7 +187,13 @@ class Trainer:
                     "drop_last; reduce the batch size or add data"
                 )
             train_loss = float(np.mean([_scalar(l) for l in losses]))
+            # the loss fetch above completed every queued step (a value
+            # readback is the reliable sync on the axon tunnel); stretch the
+            # timer to the true dispatch→completion wall so steps/s counts
+            # device execution, not just dispatch
+            timer.finalize()
             epoch_time = time.time() - t_epoch
+            preempted = preempted or self._should_stop()
 
             val_losses = []
             # SIGUSR1 gives a bounded grace window (SLURM sends it 600 s
@@ -165,7 +205,7 @@ class Trainer:
             for i, batch in enumerate(val_iter):
                 if self.debug_max_steps is not None and i >= self.debug_max_steps:
                     break
-                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(epoch_val, i)
                 if self._eval_takes_index:
                     vl = self.eval_step(_params_of(state), batch, sub, batch_index=i)
                 else:
@@ -204,6 +244,9 @@ class Trainer:
             if self.ckpt is not None:
                 extra = {
                     "epoch": epoch,
+                    # False when preempted mid-epoch: resume re-runs this
+                    # epoch instead of counting its untrained remainder
+                    "epoch_complete": not preempted,
                     "global_step": self.global_step,
                     "val_loss": val_loss,
                     "sched_best": self.scheduler.best,

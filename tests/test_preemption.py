@@ -82,7 +82,8 @@ def test_preemption_checkpoints_and_skips_validation(tmp_path):
     assert mgr.latest_step is not None     # checkpoint written
     reset_termination()
 
-    # resume continues from the checkpoint (epoch counter advanced)
+    # resume RE-RUNS the interrupted epoch: its remaining batches were
+    # never trained, so the epoch counter must not have advanced past it
     trainer2 = Trainer(
         train_step=train_step, eval_step=counting_eval,
         train_loader=_ToyLoader(), val_loader=_ToyLoader(),
@@ -91,7 +92,8 @@ def test_preemption_checkpoints_and_skips_validation(tmp_path):
     )
     result2 = trainer2.fit(result.state)
     assert not result2.preempted
-    assert trainer2.start_epoch == 1
+    assert trainer2.start_epoch == 0       # interrupted epoch repeats
+    assert result2.epochs_run == 2         # both epochs fully trained
     mgr.close()
 
 
@@ -159,3 +161,47 @@ def test_eval_step_receives_per_epoch_batch_index(tmp_path):
     )
     trainer.fit(state)
     assert seen == [0, 1, 2, 0, 1, 2]
+
+
+def test_epoch_boundary_resume_reproduces_uninterrupted_run(tmp_path):
+    """Stop after epoch 1, resume to epoch 2: final params must equal the
+    uninterrupted 3-epoch run. Pins the per-(seed, epoch, step) key
+    derivation — sequential key splitting would replay epoch-0 draws after
+    resume and diverge."""
+    import flax.linen as nn
+
+    reset_termination()
+    model = nn.Dense(1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+
+    def train_step(state, batch, key):
+        noise = jax.random.normal(key, batch["x"].shape) * 0.1
+
+        def loss_fn(p):
+            return jnp.mean(model.apply(p, batch["x"] + noise) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    def eval_step(params, batch, key):
+        return jnp.mean(model.apply(params, batch["x"]) ** 2)
+
+    def sgd_state():
+        return create_train_state(params, 1e-2)
+
+    def fit(ckpt_dir, epochs, state):
+        mgr = CheckpointManager(ckpt_dir)
+        tr = Trainer(
+            train_step=train_step, eval_step=eval_step,
+            train_loader=_ToyLoader(), val_loader=_ToyLoader(2),
+            checkpoint_manager=mgr, epochs=epochs, seed=7,
+        )
+        res = tr.fit(state)
+        mgr.close()
+        return res.state
+
+    straight = fit(tmp_path / "a", 3, sgd_state())
+    partial = fit(tmp_path / "b", 2, sgd_state())
+    resumed = fit(tmp_path / "b", 3, partial)  # restores epoch 0-1, runs 2
+    for a, b in zip(jax.tree.leaves(straight.params), jax.tree.leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
