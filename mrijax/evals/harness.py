@@ -151,7 +151,12 @@ def evaluate_conditional_2d(
         k1, k2 = jax.random.split(jax.random.fold_in(key, 999))
         g1 = select(np.asarray(sample_fn(db, k1)))
         g2 = select(np.asarray(sample_fn(db, k2)))
-        s = np.asarray(ssim(g1, g2))
+        # reference protocol rescales to [0,1] with data_range=1 before
+        # SSIM (metrics.py:433-436) — SSIM is not shift-invariant, so
+        # scoring the raw [-1,1] samples would not be comparable
+        g1_01 = np.clip((g1 + 1.0) / 2.0, 0.0, 1.0)
+        g2_01 = np.clip((g2 + 1.0) / 2.0, 0.0, 1.0)
+        s = np.asarray(ssim(g1_01, g2_01, data_range=1.0))
         report["diversity_ssim_mean"] = float(s.mean())
         report["diversity_ssim_std"] = float(s.std())
         if lpips is not None:

@@ -28,11 +28,14 @@ def max_cosine_similarity(
 
 def memorization_stats(
     fakes: np.ndarray, real_pool: np.ndarray, chunk: int = 256
-) -> Dict[str, float]:
+) -> Dict[str, object]:
     sims = max_cosine_similarity(fakes, real_pool, chunk)
     return {
         "mean": float(sims.mean()),
         "p95": float(np.percentile(sims, 95)),
         "p99": float(np.percentile(sims, 99)),
         "max": float(sims.max()),
+        # full per-fake vector (reference layout's all_max_cosine,
+        # evaluate_models.py:468) for distribution-level analyses
+        "all_max_cosine": [float(v) for v in sims],
     }

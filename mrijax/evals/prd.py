@@ -34,12 +34,13 @@ def _fraction_covered(
     """Fraction of query points within any ref point's radius ball."""
     sq_q = np.sum(queries**2, axis=1)
     sq_r = np.sum(refs**2, axis=1)
+    radii_sq = ref_radii**2  # compare squared distances: skips a full-matrix sqrt
     covered = np.zeros((queries.shape[0],), bool)
     for i in range(0, queries.shape[0], chunk):
         block = queries[i : i + chunk]
         d2 = sq_q[i : i + chunk, None] + sq_r[None, :] - 2.0 * block @ refs.T
         np.maximum(d2, 0.0, out=d2)
-        covered[i : i + chunk] = np.any(np.sqrt(d2) <= ref_radii[None, :], axis=1)
+        covered[i : i + chunk] = np.any(d2 <= radii_sq[None, :], axis=1)
     return float(covered.mean())
 
 

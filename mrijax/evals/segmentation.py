@@ -2,8 +2,11 @@
 
 Parity with `evaluation_scripts/evaluate_models.py:476-549` (BraTS labels
 1/2/4): Dice = 2|A∩B| / (|A|+|B|) with the empty-empty convention = 1.0;
-HD95 = 95th percentile of symmetric surface distances via
-``scipy.ndimage.distance_transform_edt``.
+HD95 = 95th percentile of the symmetric MASK-to-mask distances (the EDT of
+each mask's complement sampled at every voxel of the other mask — interior
+voxels of the overlap contribute 0, exactly the reference's
+`distance_transform_edt` formulation at :519-527; NOT a surface-to-surface
+variant, which disagrees whenever masks overlap).
 """
 
 from typing import Dict, Sequence
@@ -31,34 +34,20 @@ def dice_per_label(
     }
 
 
-def _surface_distances(a: np.ndarray, b: np.ndarray, spacing=None) -> np.ndarray:
-    """Distances from a's surface voxels to b's surface (both directions
-    handled by the caller)."""
-    a = np.asarray(a, bool)
-    b = np.asarray(b, bool)
-    # surface = mask minus its erosion
-    a_surface = a ^ ndimage.binary_erosion(a)
-    b_surface = b ^ ndimage.binary_erosion(b)
-    if not a_surface.any() or not b_surface.any():
-        return np.asarray([])
-    dt_b = ndimage.distance_transform_edt(~b_surface, sampling=spacing)
-    return dt_b[a_surface]
-
-
 def hd95(a: np.ndarray, b: np.ndarray, spacing=None) -> float:
-    """95th-percentile symmetric Hausdorff distance. Conventions match the
-    reference: both empty → 0.0; exactly one empty → inf."""
+    """95th-percentile symmetric Hausdorff distance, reference formulation
+    (`evaluate_models.py:500-528`): EDT of each mask's COMPLEMENT sampled
+    at every voxel of the other mask. Conventions: both empty → 0.0;
+    exactly one empty → inf."""
     a = np.asarray(a, bool)
     b = np.asarray(b, bool)
     if not a.any() and not b.any():
         return 0.0
     if not a.any() or not b.any():
         return float("inf")
-    d_ab = _surface_distances(a, b, spacing)
-    d_ba = _surface_distances(b, a, spacing)
-    all_d = np.concatenate([d_ab, d_ba])
-    if all_d.size == 0:
-        return 0.0
+    dt_b = ndimage.distance_transform_edt(~b, sampling=spacing)
+    dt_a = ndimage.distance_transform_edt(~a, sampling=spacing)
+    all_d = np.concatenate([dt_b[a], dt_a[b]])
     return float(np.percentile(all_d, 95))
 
 

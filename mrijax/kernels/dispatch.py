@@ -12,6 +12,18 @@ on CPU is an error, so CPU-placed regions must disable Pallas explicitly:
 
 ``pallas_enabled()`` is the single predicate every auto-dispatching op
 (fused GroupNorm+SiLU, flash attention) consults.
+
+Semantics to keep in mind:
+
+* The predicate is consulted at TRACE time: the choice is baked into the
+  jitted executable and cached per (avals, device). Don't warm a jit cache
+  entry under ``disable_pallas()`` with the same input avals/devices the
+  hot path will use, or the XLA fallback gets cached for it. (Cross-backend
+  init — CPU-committed inputs — produces a different cache entry, so the
+  standard init-on-CPU flow is safe.)
+* The switch is PROCESS-global, not per-thread: tracing triggered from a
+  worker thread (e.g. BatchLoader prefetch materializing a transform) sees
+  the same state as the main thread.
 """
 
 import threading
@@ -19,19 +31,23 @@ from contextlib import contextmanager
 
 import jax
 
-_state = threading.local()
+_lock = threading.Lock()
+_disabled = 0
 
 
 def pallas_enabled() -> bool:
-    if getattr(_state, "disabled", 0) > 0:
+    if _disabled > 0:
         return False
     return jax.default_backend() == "tpu"
 
 
 @contextmanager
 def disable_pallas():
-    _state.disabled = getattr(_state, "disabled", 0) + 1
+    global _disabled
+    with _lock:
+        _disabled += 1
     try:
         yield
     finally:
-        _state.disabled -= 1
+        with _lock:
+            _disabled -= 1

@@ -70,7 +70,14 @@ def group_norm_silu_auto(
     from mrijax.kernels.dispatch import pallas_enabled
 
     c = x.shape[-1]
-    use_pallas = pallas_enabled() and c % 128 == 0 and c % num_groups == 0
+    # num_groups <= 128: the kernel's per-row stats scratch is one 128-wide
+    # lane vector (groupnorm_pallas.STATS_PAD)
+    use_pallas = (
+        pallas_enabled()
+        and c % 128 == 0
+        and c % num_groups == 0
+        and num_groups <= 128
+    )
     if use_pallas:
         from mrijax.kernels.groupnorm_pallas import group_norm_silu_pallas
 

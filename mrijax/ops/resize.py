@@ -37,6 +37,12 @@ def center_crop_to(x: jnp.ndarray, target_spatial) -> jnp.ndarray:
         return x
     slices = [slice(None)]
     for cur, tgt in zip(spatial, target_spatial):
+        if tgt > cur:
+            raise ValueError(
+                f"center_crop_to: target {tuple(target_spatial)} exceeds "
+                f"current spatial {tuple(spatial)} — pad first "
+                "(pad_to_min_spatial)"
+            )
         off = (cur - tgt) // 2
         slices.append(slice(off, off + tgt))
     slices.append(slice(None))

@@ -192,6 +192,20 @@ def test_hd95_known_offset():
     assert hd95(np.zeros_like(a), np.zeros_like(b)) == 0.0
 
 
+def test_hd95_mask_to_mask_semantics():
+    """Reference formulation (evaluate_models.py:519-527): EDT of the mask
+    COMPLEMENT sampled at every voxel of the other mask — overlap interior
+    contributes 0. Hand-computed: a={v}, b={v, v+e_x} gives distances
+    [0] ∪ [0, 1] → p95 = 0.9 (linear interpolation). A surface-to-surface
+    variant degenerates on single-voxel masks and returns 0."""
+    a = np.zeros((11, 11), bool)
+    b = np.zeros((11, 11), bool)
+    a[5, 5] = True
+    b[5, 5] = True
+    b[5, 6] = True
+    assert hd95(a, b) == pytest.approx(0.9)
+
+
 # --------------------------------------------------------------- harness
 
 def test_harness_end_to_end(tmp_path):
