@@ -31,6 +31,7 @@ decode+normalize work moves offline:
 """
 
 import json
+import threading
 from collections import OrderedDict
 from pathlib import Path
 from typing import Optional
@@ -42,22 +43,29 @@ from mrijax.data.datasets import central_slice_range
 
 
 class _Lru:
-    """Tiny keyed LRU shared by the packed readers (one instance per
-    dataset; accessed from at most one BatchLoader prefetch thread)."""
+    """Tiny keyed LRU shared by the packed readers. One dataset instance can
+    back several loader views (train/val `_IndexView`s) whose prefetch
+    threads overlap — e.g. a producer stuck in a slow ``np.load`` past
+    BatchLoader's 5 s shutdown join — so mutation is locked. ``load_fn``
+    runs outside the lock (it's the expensive part; a rare duplicate load
+    is cheaper than serializing all IO)."""
 
     def __init__(self, load_fn, size: int):
         self._load_fn = load_fn
         self._size = size
         self._cache = OrderedDict()
+        self._lock = threading.Lock()
 
     def __call__(self, key):
-        if key in self._cache:
-            self._cache.move_to_end(key)
-            return self._cache[key]
+        with self._lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
         val = self._load_fn(key)
-        self._cache[key] = val
-        if len(self._cache) > self._size:
-            self._cache.popitem(last=False)
+        with self._lock:
+            self._cache[key] = val
+            if len(self._cache) > self._size:
+                self._cache.popitem(last=False)
         return val
 
 
@@ -334,6 +342,38 @@ class PackedMultiModalDataset25D:
 # ------------------------------------------------------------- 3D latents
 
 
+def latent_source_files(src_dir) -> list:
+    """Ordered relative paths of the cases ``pack_latents(src_dir, ...)``
+    would encode, WITHOUT reading any volume data. Recorded in the latent
+    cache's index.json so a stale cache (cases added/removed, or a different
+    source dir) is detected and repacked rather than silently reused."""
+    src_dir = Path(src_dir)
+    idx_path = src_dir / "index.json"
+    if idx_path.exists():
+        index = json.loads(idx_path.read_text())
+        if index.get("kind") != "volumes3d":
+            raise ValueError(f"{src_dir} is not a pack_volumes directory")
+        return [f["path"] for f in index["files"]]
+    from mrijax.data.datasets import find_brats_cases
+
+    cases = find_brats_cases(src_dir, None)
+    return [str(Path(c[0]).relative_to(src_dir)) for c in cases]
+
+
+def latent_cache_is_stale(index_path, params_fp: float, src_files: list) -> bool:
+    """True when the latent cache at ``index_path`` must be repacked: no
+    index, a different VAE (params fingerprint), or different source data
+    (case list changed — cases added/removed or another source dir)."""
+    index_path = Path(index_path)
+    if not index_path.exists():
+        return True
+    index = json.loads(index_path.read_text())
+    old_fp = index.get("params_fingerprint")
+    if old_fp is None or abs(old_fp - params_fp) > 1e-6 * max(1.0, abs(params_fp)):
+        return True
+    return index.get("source_files") != src_files
+
+
 def pack_latents(
     src_dir,
     output_dir,
@@ -364,7 +404,9 @@ def pack_latents(
 
     src_dir, output_dir = Path(src_dir), Path(output_dir)
     if downsample is None:
-        downsample = 2 ** vae.num_down
+        # VAE3D downsamples on the first num_down-1 levels only (matching
+        # `ddpm_3d_ldm/vae.py:26-47`), so the true factor is 2**(num_down-1).
+        downsample = vae.spatial_downsample
 
     @jax.jit
     def encode(params, x):
@@ -387,6 +429,8 @@ def pack_latents(
     index = {
         "kind": "latents3d",
         "downsample": int(downsample),
+        "source": str(src_dir),
+        "source_files": latent_source_files(src_dir),
         "params_fingerprint": params_fingerprint(vae_params),
         "files": [],
     }

@@ -27,16 +27,39 @@ Semantics to keep in mind:
 """
 
 import threading
+import warnings
 from contextlib import contextmanager
 
 import jax
 
 _lock = threading.Lock()
 _disabled = 0
+_disabling_threads: set = set()
+_warned_cross_thread = False
 
 
 def pallas_enabled() -> bool:
+    global _warned_cross_thread
     if _disabled > 0:
+        # Guard for the process-global flag's one hazard: a DIFFERENT thread
+        # tracing a TPU-destined executable during this window would bake
+        # the XLA fallback into the TPU jit cache for those avals. Warn once
+        # so a mis-scheduled warmup is diagnosable instead of silently slow.
+        if (
+            not _warned_cross_thread
+            and threading.get_ident() not in _disabling_threads
+            and jax.default_backend() == "tpu"
+        ):
+            _warned_cross_thread = True
+            warnings.warn(
+                "pallas_enabled() consulted from a thread that did not enter "
+                "disable_pallas() while a disable window is active on a TPU "
+                "backend — if this trace targets the TPU, the XLA fallback "
+                "will be cached for its avals. Warm hot-path executables "
+                "outside disable_pallas() windows.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         return False
     return jax.default_backend() == "tpu"
 
@@ -44,10 +67,14 @@ def pallas_enabled() -> bool:
 @contextmanager
 def disable_pallas():
     global _disabled
+    ident = threading.get_ident()
     with _lock:
         _disabled += 1
+        _disabling_threads.add(ident)
     try:
         yield
     finally:
         with _lock:
             _disabled -= 1
+            if _disabled == 0:
+                _disabling_threads.clear()

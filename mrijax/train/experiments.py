@@ -36,7 +36,11 @@ from mrijax.data import (
     split_dataset,
     take_subset,
 )
-from mrijax.data.packing import params_fingerprint
+from mrijax.data.packing import (
+    latent_cache_is_stale,
+    latent_source_files,
+    params_fingerprint,
+)
 from mrijax.diffusion import (
     GaussianDiffusion,
     cosine_beta_schedule,
@@ -320,6 +324,15 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
     train_loader, val_loader = _make_loaders(cfg, dataset, mesh)
 
     vae = build_vae3d(cfg.vae)
+    if cfg.train.cache_latents:
+        # fail fast, BEFORE hours of stage-1 VAE training: latent crops need
+        # the patch on the encoder's 2**(num_down-1) pixel grid
+        f = vae.spatial_downsample
+        if any(p % f for p in d.patch_size):
+            raise ValueError(
+                f"cache_latents requires patch_size {d.patch_size} divisible "
+                f"by the VAE downsample factor {f}"
+            )
     vol_shape = (1, *d.patch_size, cfg.vae.in_channels)
     vae_params = _init_params(
         vae, jnp.zeros((1, 16, 16, 16, cfg.vae.in_channels), jnp.float32),
@@ -348,24 +361,15 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
     # re-encodes every batch forever, train.py:391-400).
     use_cache = cfg.train.cache_latents
     if use_cache:
-        f = 2 ** cfg.vae.num_down
-        if any(p % f for p in d.patch_size):
-            raise ValueError(
-                f"cache_latents requires patch_size {d.patch_size} divisible "
-                f"by the VAE downsample factor {f}"
-            )
+        f = vae.spatial_downsample  # 2**(num_down-1), NOT 2**num_down
         cache_dir = (
             Path(cfg.train.checkpoint_dir) / cfg.family / cfg.name / "latent_cache"
         )
         fp = params_fingerprint(vae_params)
+        src_dir = d.packed_dir or d.root_dir
+        src_files = latent_source_files(src_dir)
         idx_path = cache_dir / "index.json"
-        needs_pack = True
-        if idx_path.exists():
-            old_fp = json.loads(idx_path.read_text()).get("params_fingerprint")
-            needs_pack = (
-                old_fp is None
-                or abs(old_fp - fp) > 1e-6 * max(1.0, abs(fp))
-            )
+        needs_pack = latent_cache_is_stale(idx_path, fp, src_files)
         # Multi-host: only process 0 writes the cache (np.savez is not
         # atomic — concurrent writers would corrupt shards). The DECISION is
         # host 0's, broadcast so every process enters the same collectives
@@ -409,6 +413,20 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
                 "filesystem shared by all hosts when cache_latents is on"
             )
         lat_patch = tuple(p // f for p in d.patch_size)
+        # cross-check against the encoder's ACTUAL output shape (shape-only
+        # trace, no compute) so a future VAE topology change can't silently
+        # train the UNet at the wrong latent size again
+        enc_shape = jax.eval_shape(
+            lambda p, x: vae.apply(p, x, method="encode_to_latent"),
+            vae_params,
+            jax.ShapeDtypeStruct((1, *d.patch_size, cfg.vae.in_channels),
+                                 jnp.float32),
+        ).shape
+        if tuple(enc_shape[1:-1]) != lat_patch:
+            raise AssertionError(
+                f"latent patch {lat_patch} != encoder output {enc_shape[1:-1]} "
+                f"for patch_size {d.patch_size}"
+            )
         lat_ds = PackedLatentDataset(cache_dir, lat_patch, random_crop=True)
         # same split seed over the same case order => identical subject split;
         # stage 2 batches latents (64x smaller than volumes) so it gets its

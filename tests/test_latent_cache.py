@@ -24,7 +24,11 @@ import jax.numpy as jnp
 
 from mrijax.config import preset_ddpm_3d_ldm
 from mrijax.data import PackedLatentDataset, pack_latents, pack_volumes
-from mrijax.data.packing import params_fingerprint
+from mrijax.data.packing import (
+    latent_cache_is_stale,
+    latent_source_files,
+    params_fingerprint,
+)
 from mrijax.data.preprocess import pad_volume_to_min
 from mrijax.data.synthetic import write_synthetic_brats
 from mrijax.diffusion import GaussianDiffusion, cosine_beta_schedule, make_schedule
@@ -64,14 +68,17 @@ def test_pack_latents_matches_full_volume_encode(brats_root, tmp_path):
     vol_dir, lat_dir = tmp_path / "vols", tmp_path / "lats"
     pack_volumes(brats_root, vol_dir)
     index = pack_latents(vol_dir, lat_dir, vae, params)
-    assert index["kind"] == "latents3d" and index["downsample"] == 4
+    # VAE3D(num_down=2) downsamples only on the first num_down-1 levels,
+    # so the true spatial factor is 2 (vae.spatial_downsample), not 4
+    assert index["kind"] == "latents3d" and index["downsample"] == 2
+    assert index["downsample"] == vae.spatial_downsample
     assert len(index["files"]) == 3
 
     # first case: recompute by hand from the packed volume
     vol_index = json.loads((vol_dir / "index.json").read_text())
     with np.load(vol_dir / vol_index["files"][0]["path"]) as z:
         vol = z["volume"]  # (C, D, H, W)
-    tgt = [int(-(-s // 4)) * 4 for s in vol.shape[1:]]
+    tgt = [int(-(-s // 2)) * 2 for s in vol.shape[1:]]
     x = np.moveaxis(pad_volume_to_min(vol, tgt), 0, -1)[None]
     want = np.asarray(
         vae.apply(params, jnp.asarray(x), method="encode_to_latent"), np.float32
@@ -90,6 +97,24 @@ def test_pack_latents_matches_full_volume_encode(brats_root, tmp_path):
     with np.load(lat_dir / index["files"][0]["path"]) as z:
         got1 = z["latent"]
     np.testing.assert_array_equal(got1, got2)
+
+
+def test_latent_cache_staleness(brats_root, tmp_path):
+    """Repack triggers on: missing index, different VAE params, or changed
+    source data (ADVICE r2: data changes must not silently reuse a cache)."""
+    vae = _tiny_vae()
+    params = _vae_params(vae)
+    lat_dir = tmp_path / "lats"
+    index = pack_latents(brats_root, lat_dir, vae, params)
+    fp = params_fingerprint(params)
+    src = latent_source_files(brats_root)
+    assert index["source_files"] == src and len(src) == 3
+    idx_path = lat_dir / "index.json"
+    assert not latent_cache_is_stale(idx_path, fp, src)
+    assert latent_cache_is_stale(idx_path, fp + 1.0, src)       # other VAE
+    assert latent_cache_is_stale(idx_path, fp, src[:-1])        # case removed
+    assert latent_cache_is_stale(idx_path, fp, src + ["x.npz"])  # case added
+    assert latent_cache_is_stale(tmp_path / "missing.json", fp, src)
 
 
 def test_latent_dataset_crops(brats_root, tmp_path):
@@ -231,7 +256,7 @@ def test_cache_latents_rejects_indivisible_patch(brats_root, tmp_path):
         str(brats_root),
         **{
             "name": "t3dbad",
-            "data.patch_size": (10, 16, 16),  # 10 % 4 != 0
+            "data.patch_size": (9, 16, 16),  # 9 % 2 != 0 (spatial_downsample)
             "vae.base_channels": 8,
             "vae.num_down": 2,
             "vae.compute_dtype": "float32",
