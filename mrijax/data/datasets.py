@@ -38,19 +38,23 @@ from mrijax.data.preprocess import (
 )
 
 
-def _zscore_nonzero_np(x: np.ndarray, eps: float = 1e-6) -> np.ndarray:
+def _zscore_nonzero_np(x: np.ndarray, eps: Optional[float] = 1e-6) -> np.ndarray:
     """Numpy twin of ``preprocess.zscore_nonzero`` for host-side per-sample
     transforms: z-score over the brain mask (nonzero voxels), clip to ±5σ,
-    rescale to [-1, 1]. An all-zero sample degenerates to the plain z-score
-    over everything, which maps zeros to zeros — so the statistics can
-    simply be taken over the full array in that case."""
+    rescale to [-1, 1]. ``eps=None`` selects the 2D/2.5D degenerate-std
+    branch (replace only ``std == 0``, `slice_cond_2d_ddpm/dataset.py:78`);
+    the default mirrors the 3D path's ``std < eps``
+    (`ddpm_3d_ldm/dataset.py:23-24`). An all-zero sample degenerates to the
+    plain z-score over everything, which maps zeros to zeros — so the
+    statistics can simply be taken over the full array in that case."""
     x = x.astype(np.float32).copy()
     sel = x != 0
     if not sel.any():
         sel = np.ones_like(sel)
     vals = x[sel]
     std = vals.std()
-    x[sel] = (vals - vals.mean()) / (std if std >= eps else 1.0)
+    degenerate = (std == 0.0) if eps is None else (std < eps)
+    x[sel] = (vals - vals.mean()) / (1.0 if degenerate else std)
     np.clip(x, -5.0, 5.0, out=x)
     return x / 5.0
 
@@ -79,7 +83,7 @@ def preprocess_slice_np(sl: np.ndarray, image_size: int) -> np.ndarray:
     """Full reference slice pipeline on host: masked z-score → clip → resize.
     The resize runs on the [0,1]-equivalent linear scale; since bilinear
     weights sum to 1, doing it after the affine map is exact."""
-    z = _zscore_nonzero_np(sl)
+    z = _zscore_nonzero_np(sl, eps=None)  # 2D branch: replace only std == 0
     return _resize_bilinear_np(z, (image_size, image_size))
 
 

@@ -210,7 +210,13 @@ class BatchLoader:
                     q.get_nowait()
                 except queue.Empty:
                     break
-            t.join(timeout=5.0)
+            try:
+                t.join(timeout=5.0)
+            except TypeError:
+                # generator finalized during interpreter shutdown:
+                # threading internals are already torn down and join()'s
+                # machinery is gone; the daemon thread dies with the process
+                pass
 
 
 class _IndexView:

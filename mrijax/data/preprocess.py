@@ -26,22 +26,30 @@ masked sums so everything stays jittable with static shapes.
 
 from functools import partial
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
 from mrijax.ops.resize import resize_bilinear
 
 
-def zscore_nonzero(x: jnp.ndarray, axes=None, eps: float = 1e-6) -> jnp.ndarray:
+def zscore_nonzero(
+    x: jnp.ndarray, axes=None, eps: Optional[float] = 1e-6
+) -> jnp.ndarray:
     """Z-score the nonzero elements *in place* (zeros stay zero), clip ±5,
     rescale to [-1, 1].
 
-    Exact reference semantics (`slice_cond_2d_ddpm/dataset.py:73-83`,
-    `ddpm_3d_ldm/dataset.py:11-41`):
+    Exact reference semantics — the two families differ in one branch:
     * statistics over the nonzero mask; only masked values are z-scored —
       background voxels remain 0, which maps to 0 after [-5,5] → [-1,1];
-    * std below ``eps`` is replaced by 1.0;
-    * with an empty mask, *all* elements are z-scored (3D fallback path).
+    * degenerate-std handling: the 3D path replaces ``std < eps`` with 1.0
+      (`ddpm_3d_ldm/dataset.py:11-41`); the 2D/2.5D path replaces only
+      ``std == 0`` (`slice_cond_2d_ddpm/dataset.py:78` uses
+      ``std if std > 0``) — pass ``eps=None`` for that branch;
+    * with an empty mask, *all* elements are z-scored (3D fallback path;
+      the 2D reference leaves the slice untouched, which is identical for
+      the only realizable all-zero-slice case).
 
     ``axes``: reduction axes (None = all). Jittable: the data-dependent mask
     is a ``jnp.where`` select, shapes stay static.
@@ -53,16 +61,19 @@ def zscore_nonzero(x: jnp.ndarray, axes=None, eps: float = 1e-6) -> jnp.ndarray:
     count = jnp.sum(mask, axis=axes, keepdims=True)
     has_nonzero = count > 0
 
+    def fix_std(s):
+        if eps is None:  # 2D/2.5D branch: replace only an exactly-zero std
+            return jnp.where(s > 0.0, s, 1.0)
+        return jnp.where(s < eps, 1.0, s)
+
     mean_m = jnp.sum(xf * mask, axis=axes, keepdims=True) / jnp.maximum(count, 1.0)
     var_m = jnp.sum(jnp.square(xf - mean_m) * mask, axis=axes, keepdims=True) / (
         jnp.maximum(count, 1.0)
     )
-    std_m = jnp.sqrt(var_m)
-    std_m = jnp.where(std_m < eps, 1.0, std_m)
+    std_m = fix_std(jnp.sqrt(var_m))
 
     mean_a = jnp.mean(xf, axis=axes, keepdims=True)
-    std_a = jnp.std(xf, axis=axes, keepdims=True)
-    std_a = jnp.where(std_a < eps, 1.0, std_a)
+    std_a = fix_std(jnp.std(xf, axis=axes, keepdims=True))
 
     z_masked = jnp.where(mask > 0, (xf - mean_m) / std_m, 0.0)
     z_all = (xf - mean_a) / std_a
@@ -77,7 +88,7 @@ def preprocess_slice(sl: jnp.ndarray, image_size: int = 128) -> jnp.ndarray:
     """Raw (H, W) slice → normalized, resized (image_size, image_size) in
     [-1, 1]. Matches the reference per-slice pipeline exactly
     (`slice_cond_2d_ddpm/dataset.py:73-95`)."""
-    z = zscore_nonzero(sl)
+    z = zscore_nonzero(sl, eps=None)  # 2D branch: replace only std == 0
     z = z[None, :, :, None]  # (1, H, W, 1) channels-last
     out = resize_bilinear(z, (image_size, image_size))
     return out[0, :, :, 0]
@@ -86,7 +97,7 @@ def preprocess_slice(sl: jnp.ndarray, image_size: int = 128) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("image_size",))
 def preprocess_slice_batch(slices: jnp.ndarray, image_size: int = 128) -> jnp.ndarray:
     """(N, H, W) raw slices → (N, S, S); per-slice statistics (vmapped)."""
-    z = jax.vmap(zscore_nonzero)(slices)
+    z = jax.vmap(lambda s: zscore_nonzero(s, eps=None))(slices)
     z = z[..., None]  # (N, H, W, 1)
     out = resize_bilinear(z, (image_size, image_size))
     return out[..., 0]

@@ -22,17 +22,18 @@ import numpy as np
 def split_counts(
     n: int, train_frac: float = 0.8, val_frac: float = 0.1, test_frac: float = 0.1
 ) -> Tuple[int, int, int]:
+    """Deterministic 80/10/10 count arithmetic. The semantics ARE the spec
+    (`split_train_val_test.py:42-61`): floor val/test, train takes the
+    remainder, and for n ≥ 3 every split is made non-empty with train
+    absorbing the rebalance."""
     if abs((train_frac + val_frac + test_frac) - 1.0) > 1e-9:
         raise ValueError("fractions must sum to 1.0")
-    n_test = int(n * test_frac)
-    n_val = int(n * val_frac)
-    n_train = n - n_val - n_test
+    counts = {"val": int(n * val_frac), "test": int(n * test_frac)}
+    counts["train"] = n - counts["val"] - counts["test"]
     if n >= 3:
-        n_train = n_train or 1
-        n_val = n_val or 1
-        n_test = n_test or 1
-        n_train += n - (n_train + n_val + n_test)
-    return n_train, n_val, n_test
+        counts = {k: max(v, 1) for k, v in counts.items()}
+        counts["train"] -= sum(counts.values()) - n
+    return counts["train"], counts["val"], counts["test"]
 
 
 def split_subjects(
@@ -58,11 +59,10 @@ def split_subjects(
 
 
 def _is_subpath(child: Path, parent: Path) -> bool:
-    try:
-        child.resolve().relative_to(parent.resolve())
-        return True
-    except Exception:
-        return False
+    """True when ``child`` resolves to ``parent`` or inside it (guards the
+    out-root ⊄ src requirement)."""
+    c, p = child.resolve(), parent.resolve()
+    return c == p or p in c.parents
 
 
 def apply_split(

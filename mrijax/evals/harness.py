@@ -59,6 +59,7 @@ def evaluate_conditional_2d(
     seed: int = 0,
     eval_channel: Optional[int] = None,
     out_path=None,
+    progress_path=None,
 ) -> dict:
     """Evaluate a conditional 2D sampler against real data.
 
@@ -126,6 +127,14 @@ def evaluate_conditional_2d(
         if div_batch is None:
             div_batch = batch  # reuse the first batch's conditions
         n_seen += real.shape[0]
+        if progress_path is not None:
+            # mid-model breadcrumb so a long eval (sampling dominates, §3.5)
+            # is observable from outside, like the reference's
+            # *_progress.txt (`metrics_both.py:389`)
+            Path(progress_path).write_text(
+                f"{n_seen}/{num_samples} samples  "
+                f"{time.time() - t0:.0f}s elapsed  {time.ctime()}\n"
+            )
 
     report: dict = {"num_samples": n_seen, "protocol": "matched-z streaming"}
     mu_r, cov_r = global_real.stats()
@@ -182,9 +191,14 @@ def evaluate_conditional_2d(
             ffa_pr = prf.embed_batched(np.concatenate(fake_pool))
             p, r = improved_precision_recall(rfa_pr, ffa_pr)
             psfx = getattr(prf, "metric_suffix", "_rand")
+            report["improved_pr_feature_space"] = "resnet18"
         else:
+            # FALLBACK: FID-space features, a DIFFERENT metric than the
+            # reference's ResNet18-space PR — record the space explicitly
+            # so the fallback is visible beyond the suffix
             p, r = improved_precision_recall(rfa, ffa)
             psfx = sfx
+            report["improved_pr_feature_space"] = f"fid_features{sfx}"
         report[f"improved_precision{psfx}"] = p
         report[f"improved_recall{psfx}"] = r
 

@@ -18,15 +18,52 @@ from typing import List, Optional
 from mrijax.evals.features import FeatureExtractor
 
 
+class _ExtractorCache:
+    """Build each (kind, weights_path) extractor/distance once across the
+    model list — converted backbone weights are shared, not per-run."""
+
+    def __init__(self):
+        self._cache = {}
+
+    def get(self, kind: str, weights_path):
+        if weights_path is None:
+            return None
+        k = (kind, str(weights_path))
+        if k not in self._cache:
+            from mrijax.evals.backbones import (
+                InceptionFeatureExtractor,
+                LPIPSDistance,
+                ResNet18FeatureExtractor,
+            )
+
+            ctor = {
+                "inception": InceptionFeatureExtractor,
+                "resnet18": ResNet18FeatureExtractor,
+                "lpips": LPIPSDistance,
+            }[kind]
+            self._cache[k] = ctor(weights_path=weights_path)
+        return self._cache[k]
+
+
 def evaluate_runs(
     run_configs: List[dict],
     out_dir,
     *,
     feature_extractor: Optional[FeatureExtractor] = None,
+    inception_weights=None,
+    lpips_weights=None,
+    resnet18_weights=None,
     progress: bool = True,
 ) -> dict:
     """run_configs: [{"run_dir": ..., "num_samples": 500, "ddim_steps": 50,
-    "split": "test", "compute_pr": false, "name": optional}, ...].
+    "split": "test", "compute_pr": false, "name": optional,
+    "inception_weights"/"lpips_weights"/"resnet18_weights": optional
+    per-run overrides of the harness-wide paths}, ...].
+
+    ``*_weights`` are npz paths from ``mrijax convert-features``; with them
+    the batch harness emits REAL fid/kid/lpips/pr (the reference's
+    pretrained-metric mode, `metrics.py:147-229,419-443`) instead of
+    ``_rand``-suffixed stand-ins.
 
     Writes ``<out_dir>/<name>.metrics.json`` per model + ``summary.json``;
     returns the summary dict. A model failure is recorded, not fatal
@@ -34,7 +71,7 @@ def evaluate_runs(
     """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    fe = feature_extractor or FeatureExtractor()
+    extractors = _ExtractorCache()
     summary = {}
     for i, rc in enumerate(run_configs):
         run_dir = Path(rc["run_dir"])
@@ -42,7 +79,25 @@ def evaluate_runs(
         crumb = out_dir / f"{name}_RUNNING.txt"
         crumb.write_text(f"started {time.ctime()}\n")
         try:
-            report = _evaluate_one(rc, fe, out_dir / f"{name}.metrics.json")
+            # inside the try: a bad weights path is a per-model error, not
+            # a batch-killer
+            inc = rc.get("inception_weights", inception_weights)
+            fe = (
+                feature_extractor
+                or extractors.get("inception", inc)
+                or FeatureExtractor()
+            )
+            pr_fe = extractors.get(
+                "resnet18", rc.get("resnet18_weights", resnet18_weights)
+            )
+            lpips = extractors.get(
+                "lpips", rc.get("lpips_weights", lpips_weights)
+            )
+            report = _evaluate_one(
+                rc, fe, out_dir / f"{name}.metrics.json",
+                pr_feature_extractor=pr_fe, lpips=lpips,
+                progress_path=out_dir / f"{name}_progress.txt",
+            )
             headline = ("fid", "kid_mean", "diversity_ssim_mean",
                         "diversity_lpips_mean", "improved_precision",
                         "improved_recall", "num_samples")
@@ -64,7 +119,15 @@ def evaluate_runs(
     return summary
 
 
-def _evaluate_one(rc: dict, fe: FeatureExtractor, out_path: Path) -> dict:
+def _evaluate_one(
+    rc: dict,
+    fe: FeatureExtractor,
+    out_path: Path,
+    *,
+    pr_feature_extractor=None,
+    lpips=None,
+    progress_path=None,
+) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -114,8 +177,15 @@ def _evaluate_one(rc: dict, fe: FeatureExtractor, out_path: Path) -> dict:
 
     from mrijax.data.loader import _IndexView
 
+    if len(keep) < 2:
+        raise ValueError(
+            f"split {split!r} has {len(keep)} slices — FID/KID need at "
+            "least 2; use split='all' or a larger dataset"
+        )
+    # keep the ragged tail: a split smaller than the batch size must still
+    # produce batches (single-device eval has no whole-batch requirement)
     loader = BatchLoader(_IndexView(ds, keep), rc.get("batch_size", 32), shuffle=False,
-                         drop_last=True, prefetch=0)
+                         drop_last=False, prefetch=0)
     ddim_steps = rc.get("ddim_steps")
 
     def sample_fn(batch, k):
@@ -132,10 +202,13 @@ def _evaluate_one(rc: dict, fe: FeatureExtractor, out_path: Path) -> dict:
 
     return evaluate_conditional_2d(
         sample_fn, iter(loader), feature_extractor=fe,
+        pr_feature_extractor=pr_feature_extractor,
+        lpips=lpips,
         num_samples=rc.get("num_samples", 1000),
         num_diversity_pairs=rc.get("diversity_pairs", 64),
         compute_pr=rc.get("compute_pr", False),
         seed=rc.get("seed", 0),
         eval_channel=rc.get("eval_channel", 3) if is_25d else None,
         out_path=out_path,
+        progress_path=progress_path,
     )

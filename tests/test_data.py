@@ -71,6 +71,25 @@ def test_zscore_nonzero_matches_reference_math():
     np.testing.assert_allclose(ours_jax[sl == 0], 0.0, atol=1e-6)
 
 
+def test_zscore_degenerate_std_branch_per_family():
+    """0 < std < 1e-6: the 2D branch (eps=None) divides by the true tiny
+    std (`slice_cond_2d_ddpm/dataset.py:78` replaces only std == 0 → the
+    two voxels normalize to ±1σ → ±0.2 after /5), while the 3D branch
+    replaces it with 1.0 (`ddpm_3d_ldm/dataset.py:23-24` → values stay
+    ~1e-8)."""
+    sl = np.zeros((8, 8), np.float32)
+    sl[2, 2], sl[3, 3] = 1e-7, 2e-7  # nonzero mask with std = 5e-8
+    for f in (lambda a: np.asarray(_zscore_nonzero_np(a, eps=None)),
+              lambda a: np.asarray(zscore_nonzero(a, eps=None))):
+        z2 = f(sl)
+        assert z2[3, 3] == pytest.approx(0.2, abs=1e-5)   # (+1σ)/5
+        assert z2[2, 2] == pytest.approx(-0.2, abs=1e-5)  # (−1σ)/5
+    for f in (lambda a: np.asarray(_zscore_nonzero_np(a)),
+              lambda a: np.asarray(zscore_nonzero(a))):
+        z3 = f(sl)
+        assert abs(z3[3, 3]) < 1e-6  # std replaced by 1.0
+
+
 def test_zscore_allzero_fallback():
     z = np.asarray(zscore_nonzero(np.zeros((8, 8), np.float32)))
     assert np.all(np.isfinite(z))

@@ -247,3 +247,49 @@ def test_harness_end_to_end(tmp_path):
               "diversity_ssim_mean", "improved_precision_rand",
               "memorization"):
         assert k in rep_good
+    # the PR fallback (no ResNet18 weights) is labeled explicitly, not
+    # just by suffix (r2 weak #5)
+    assert rep_good["improved_pr_feature_space"] == "fid_features_rand"
+
+
+def test_harness_progress_breadcrumb(tmp_path):
+    """progress_path gets mid-eval updates (the reference's *_progress.txt
+    observability for long sampling jobs, metrics_both.py:389)."""
+    rng = np.random.default_rng(3)
+    fe = FeatureExtractor(image_size=32, widths=(4,))
+    contents = []
+    progress = tmp_path / "m_progress.txt"
+
+    def batches():
+        for _ in range(3):
+            yield {
+                "image": rng.uniform(-1, 0, (8, 16, 16, 1)).astype(np.float32),
+                "z_pos": rng.uniform(size=(8,)).astype(np.float32),
+            }
+
+    def sampler(batch, key):
+        if progress.exists():
+            contents.append(progress.read_text())
+        return jnp.asarray(batch["image"]) * 0.9
+
+    evaluate_conditional_2d(
+        sampler, batches(), feature_extractor=fe, num_samples=24,
+        num_diversity_pairs=0, progress_path=progress,
+    )
+    assert progress.exists() and "24/24 samples" in progress.read_text()
+    # sampler saw earlier progress states => it was written DURING the loop
+    assert any("8/24" in c or "16/24" in c for c in contents)
+
+
+def test_multi_eval_bad_weights_is_per_model_error(tmp_path):
+    """A bogus weights path is recorded as that model's error; the batch
+    continues (reference long-job resilience)."""
+    from mrijax.evals import evaluate_runs
+
+    summary = evaluate_runs(
+        [{"run_dir": str(tmp_path / "missing"), "name": "m1",
+          "inception_weights": str(tmp_path / "nope.npz")}],
+        tmp_path / "out", progress=False,
+    )
+    assert "error" in summary["m1"]
+    assert (tmp_path / "out" / "summary.json").exists()
