@@ -342,11 +342,6 @@ def cmd_eval(args):
     paths = {ds.volume_paths[i] for i in vols}
     keep = [i for i, (p, _) in enumerate(ds.slice_tuples) if p in paths]
 
-    from mrijax.data.loader import _IndexView
-
-    loader = BatchLoader(_IndexView(ds, keep), args.batch_size, shuffle=False, drop_last=True,
-                         prefetch=0)
-
     # --data-parallel: shard the dominant eval cost (matched-condition
     # sampling, ~num_samples × T UNet forwards) over all devices
     mesh = None
@@ -360,6 +355,27 @@ def cmd_eval(args):
             )
         mesh = make_mesh(("data",))
         print(f"[cli] data-parallel sampling over {mesh.shape['data']} devices")
+
+    # a split smaller than the batch size used to die three frames from its
+    # cause (zero batches → "need ≥2 samples for covariance"); keep the
+    # ragged tail when single-device, fail loud when sharding requires
+    # whole batches
+    if mesh is not None and len(keep) < args.batch_size:
+        raise SystemExit(
+            f"the {args.split!r} split has {len(keep)} slices < batch-size "
+            f"{args.batch_size} — use --split all, a smaller --batch-size, "
+            "or drop --data-parallel"
+        )
+    if len(keep) < 2:
+        raise SystemExit(
+            f"the {args.split!r} split has {len(keep)} slices — FID/KID need "
+            "at least 2; use --split all or a larger dataset"
+        )
+
+    from mrijax.data.loader import _IndexView
+
+    loader = BatchLoader(_IndexView(ds, keep), args.batch_size, shuffle=False,
+                         drop_last=mesh is not None, prefetch=0)
 
     def _local_sample(p, k, cond):
         z, context = cond
@@ -534,12 +550,24 @@ def _iter_leaves(tree):
         yield tree
 
 
+def _load_torch_state_dict(path):
+    """torch.load + the reference's checkpoint-format tolerance: raw
+    state_dict or ``{"state_dict": ...}`` wrapping
+    (`ddpm_3d_ldm/show_model.py:43-52`)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and isinstance(sd.get("state_dict"), dict):
+        sd = sd["state_dict"]
+    return {k: v for k, v in sd.items()}
+
+
 def cmd_import_torch(args):
     """Convert a reference PyTorch checkpoint (2D / 2.5D diffusion
-    state_dict) into a mrijax run directory usable by sample/eval."""
+    state_dict, or the 3D VAE+LDM pair) into a mrijax run directory usable
+    by sample/eval/export."""
     import jax
     import jax.numpy as jnp
-    import torch
 
     from mrijax.config import PRESETS, _apply_overrides
     from mrijax.io import CheckpointManager
@@ -547,12 +575,14 @@ def cmd_import_torch(args):
     from mrijax.train.experiments import build_unet2d
     from mrijax.train.state import create_train_state
 
-    sd = torch.load(args.checkpoint, map_location="cpu", weights_only=True)
-    sd = {k: v for k, v in sd.items()} if isinstance(sd, dict) else sd
-
     cfg = PRESETS[args.preset](args.root_dir or "")
     cfg.name = args.name or "imported"
     _apply_overrides(cfg, _parse_set(args.set))
+
+    if cfg.family == "ddpm_3d_ldm":
+        return _import_torch_3d(args, cfg)
+
+    sd = _load_torch_state_dict(args.checkpoint)
     t_inferred = infer_timesteps(sd)
     if t_inferred:
         cfg.diffusion.timesteps = t_inferred
@@ -589,6 +619,90 @@ def cmd_import_torch(args):
     mgr.wait()
     mgr.close()
     print(f"[cli] imported {args.checkpoint} -> {run_dir}")
+    return 0
+
+
+def _import_torch_3d(args, cfg):
+    """Import the reference 3D pair — ``vae3d_final.pt`` +
+    ``3d_ldm_diffusion_best.pt`` (the load protocol of
+    `ddpm_3d_ldm/show_model.py:54-103`, incl. ``{"state_dict": ...}``
+    wrapping and DDP prefix remap) — into a run dir with the ``vae/`` and
+    ``ldm/`` checkpoints that ``sample --mode volume3d|diagnostics`` and
+    ``export`` consume."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrijax.io import CheckpointManager
+    from mrijax.io.torch_convert import (
+        convert_reference_unet3d,
+        convert_reference_vae3d,
+    )
+    from mrijax.train.experiments import build_unet3d, build_vae3d
+    from mrijax.train.state import create_train_state
+
+    if not args.vae_checkpoint:
+        raise SystemExit(
+            "--preset ddpm_3d_ldm needs --vae-checkpoint (vae3d_final.pt) "
+            "in addition to --checkpoint (the LDM UNet state_dict)"
+        )
+    vae_sd = _load_torch_state_dict(args.vae_checkpoint)
+    unet_sd = _load_torch_state_dict(args.checkpoint)
+    vae_params = convert_reference_vae3d(vae_sd, num_down=cfg.vae.num_down)
+    unet_params = convert_reference_unet3d(
+        unet_sd, channel_mults=cfg.unet.channel_mults,
+        use_attention=cfg.unet.use_attention,
+    )
+
+    # shape sanity against the config's models (same guard as the 2D path)
+    vae = build_vae3d(cfg.vae)
+    unet = build_unet3d(cfg.unet, use_flash=False)
+    with jax.default_device(jax.devices("cpu")[0]):
+        vae_ref = vae.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 16, 16, 16, cfg.vae.in_channels)),
+            jax.random.PRNGKey(1),
+        )
+        unet_ref = unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 8, 8, 8, cfg.vae.latent_channels)),
+            jnp.zeros((1,), jnp.int32),
+        )
+    for label, ref, got in (("vae", vae_ref, vae_params),
+                            ("ldm", unet_ref, unet_params)):
+        if jax.tree.map(lambda a: a.shape, ref) != jax.tree.map(
+            lambda a: a.shape, got
+        ):
+            raise SystemExit(
+                f"converted {label} parameter tree does not match the "
+                "config's model — check --preset / --set channel settings "
+                "against the checkpoints"
+            )
+
+    latent_scale = float(args.latent_scale)
+    if args.latent_scale == 1.0:
+        print(
+            "[cli] latent_scale defaulted to 1.0 — the reference re-estimates "
+            "it from data at inference (show_model.py:303,354-363); pass "
+            "--latent-scale from the training run for exact parity"
+        )
+
+    run_dir = Path(args.out)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    cfg.to_json(run_dir / "config.json")
+    for sub, params, lr, extra in (
+        ("vae", vae_params, cfg.vae_train.learning_rate,
+         {"imported_from": str(args.vae_checkpoint)}),
+        ("ldm", unet_params, cfg.train.learning_rate,
+         {"imported_from": str(args.checkpoint),
+          "latent_scale": latent_scale}),
+    ):
+        state = create_train_state(jax.tree.map(jnp.asarray, params), lr)
+        mgr = CheckpointManager(run_dir / sub)
+        mgr.save(0, state, extra, metrics={"val_loss": 0.0})
+        mgr.wait()
+        mgr.close()
+    print(f"[cli] imported 3D pair -> {run_dir} (vae/ + ldm/, "
+          f"latent_scale={latent_scale})")
     return 0
 
 
@@ -786,9 +900,15 @@ def build_parser():
 
     it = sub.add_parser("import-torch",
                         help="convert a reference PyTorch checkpoint")
-    it.add_argument("--checkpoint", required=True)
+    it.add_argument("--checkpoint", required=True,
+                    help="diffusion state_dict (2D/2.5D) or the LDM UNet "
+                         "state_dict (3D)")
     it.add_argument("--out", required=True, help="run dir to create")
     it.add_argument("--preset", default="slice_cond_2d")
+    it.add_argument("--vae-checkpoint", default=None,
+                    help="vae3d_final.pt (required for --preset ddpm_3d_ldm)")
+    it.add_argument("--latent-scale", type=float, default=1.0,
+                    help="latent scale from the reference training run (3D)")
     it.add_argument("--root-dir", default=None)
     it.add_argument("--name", default=None)
     it.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")

@@ -81,6 +81,24 @@ def test_cli_train_info_sample_2d(brats_root, tmp_path, capsys):
     assert np.isfinite(report["fid_rand"])
     assert "diversity_ssim_mean" in report
 
+    # split smaller than batch-size: single-device eval keeps the ragged
+    # tail instead of dying on zero batches (r2 weak #6) ...
+    out2 = tmp_path / "metrics_small.json"
+    rc = main([
+        "eval", "--run-dir", str(run_dir), "--num-samples", "8",
+        "--batch-size", "512", "--ddim-steps", "2", "--split", "all",
+        "--diversity-pairs", "2", "--out", str(out2),
+    ])
+    assert rc == 0
+    assert np.isfinite(json.loads(out2.read_text())["fid_rand"])
+    # ... while sharded eval (whole batches required) fails loud and early
+    with pytest.raises(SystemExit, match="slices < batch-size"):
+        main([
+            "eval", "--run-dir", str(run_dir), "--num-samples", "8",
+            "--batch-size", "512", "--ddim-steps", "2", "--split", "all",
+            "--data-parallel", "--out", str(tmp_path / "x.json"),
+        ])
+
 
 def test_cli_preprocess_and_split(brats_root, tmp_path, capsys):
     rc = main([
@@ -145,3 +163,76 @@ def test_cli_eval_seg(tmp_path):
     rc = main(["eval-seg", "--pred", str(pred_dir), "--target", str(targ_dir),
                "--labels", "2"])
     assert rc == 0
+
+
+def test_cli_import_torch_3d(tmp_path):
+    """`import-torch --preset ddpm_3d_ldm` converts the reference (VAE, LDM)
+    checkpoint pair — incl. {"state_dict": ...} wrapping
+    (`ddpm_3d_ldm/show_model.py:43-52`) — into a run dir that
+    `sample --mode volume3d` consumes."""
+    import torch
+
+    from test_torch_parity_3d import TUNet3D, TVAE3D
+
+    torch.manual_seed(0)
+    tvae = TVAE3D(cin=4, base=16, num_down=2, latent=4)
+    tunet = TUNet3D(cin=4, base=16, mults=(1, 2), tdim=32, heads=2)
+    vae_pt = tmp_path / "vae3d_final.pt"
+    ldm_pt = tmp_path / "3d_ldm_diffusion_best.pt"
+    # the reference saves the VAE raw and the LDM possibly wrapped
+    torch.save(tvae.state_dict(), vae_pt)
+    torch.save({"state_dict": tunet.state_dict()}, ldm_pt)
+
+    run_dir = tmp_path / "imported3d"
+    tiny = [
+        "--set",
+        "data.patch_size=[8,8,8]",
+        "vae.base_channels=16", "vae.num_down=2", "vae.latent_channels=4",
+        "vae.compute_dtype=\"float32\"",
+        "unet.in_channels=4", "unet.out_channels=4", "unet.base_channels=16",
+        "unet.channel_mults=[1,2]", "unet.time_emb_dim=32",
+        "unet.num_heads=2", "unet.compute_dtype=\"float32\"",
+        "diffusion.timesteps=8",
+    ]
+    rc = main([
+        "import-torch", "--preset", "ddpm_3d_ldm",
+        "--checkpoint", str(ldm_pt), "--vae-checkpoint", str(vae_pt),
+        "--latent-scale", "1.7", "--out", str(run_dir),
+    ] + tiny)
+    assert rc == 0
+    assert (run_dir / "config.json").exists()
+
+    # the imported run dir feeds volume sampling end-to-end
+    out_dir = tmp_path / "vols"
+    rc = main([
+        "sample", "--run-dir", str(run_dir), "--num-samples", "1",
+        "--ddim-steps", "4", "--out-dir", str(out_dir),
+    ])
+    assert rc == 0
+    assert (out_dir / "volume0.nii.gz").exists()
+
+    # latent_scale round-tripped through the ldm checkpoint's extra
+    from mrijax.cli import _restore_params
+    from mrijax.config import ExperimentConfig
+    from mrijax.train.experiments import build_unet3d
+    from mrijax.train.state import create_train_state
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = ExperimentConfig.from_json(run_dir / "config.json")
+    unet = build_unet3d(cfg.unet, use_flash=False)
+    template = create_train_state(
+        unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 4)),
+                  jnp.zeros((1,), jnp.int32)),
+        cfg.train.learning_rate,
+    )
+    _, extra = _restore_params(run_dir / "ldm", template)
+    assert extra["latent_scale"] == pytest.approx(1.7)
+
+    # missing --vae-checkpoint is a clear error, not a crash
+    with pytest.raises(SystemExit, match="vae-checkpoint"):
+        main([
+            "import-torch", "--preset", "ddpm_3d_ldm",
+            "--checkpoint", str(ldm_pt), "--out", str(tmp_path / "x"),
+        ] + tiny)
