@@ -19,6 +19,7 @@ BENCH_r{N}.json history tracks our absolute number either way.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -26,6 +27,53 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _stabilize_cache_key() -> None:
+    """Make the persistent-cache key stable across axon tunnel sessions.
+
+    Root cause of the r1/r2 driver-bench cache misses (181-199 s of setup
+    every run): the axon worker pool rotates between sessions, and each
+    worker's ``platform_version`` ("axon 0.1.0; ...; compat c49; Built on
+    <date> cl/<n>") and serialized topology feed jax's cache key — so an
+    identical computation gets a NEW key whenever the tunnel lands on a
+    different worker build (five distinct ``jit_sample_volume-*`` entries
+    accumulated over round 2 with unchanged HLO; verified by hashing the
+    lowered StableHLO across sessions: identical text, different keys).
+
+    Fix: hash only the platform NAME, not the worker build string or the
+    topology blob. Safe because (a) the key still contains the full
+    computation + jaxlib version + XLA flags, and (b) a stale executable
+    from an incompatible worker build fails DEserialization cleanly and
+    jax falls back to compilation (jax_raise_persistent_cache_errors is
+    False), repopulating the entry — worst case is exactly today's
+    behavior, best case (same build, the common case within days) is a
+    ~20 s cache load instead of a ~170 s compile.
+    """
+    try:
+        from jax._src import cache_key as _ck
+
+        _ck._hash_platform = lambda h, backend: _ck._hash_string(
+            h, backend.platform
+        )
+        _ck._hash_accelerator_config = lambda h, accs: None
+        jax.config.update("jax_raise_persistent_cache_errors", False)
+    except Exception as e:  # never let cache plumbing break the bench
+        print(f"# cache-key stabilization unavailable: {e}", file=sys.stderr)
+
+
+_stabilize_cache_key()
+
+_t_phase = time.perf_counter()
+
+
+def _phase(label: str) -> None:
+    """Setup-phase timing to stderr (the JSON contract stays stdout-only):
+    the driver-observed 181 s setup of r2 needed a breakdown to diagnose."""
+    global _t_phase
+    now = time.perf_counter()
+    print(f"# phase {label}: {now - _t_phase:.1f}s", file=sys.stderr)
+    _t_phase = now
 
 BASELINE_VOL_PER_S = 0.045  # estimated reference GPU pipeline (see docstring)
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak bf16 (MXU) FLOP/s per chip
@@ -78,24 +126,84 @@ def _init_on_cpu(model, *example_args):
     """Parameter tree WITHOUT compiling the init forward: flax init is only
     traced (jax.eval_shape — no XLA compile; a real init costs ~37 s of
     1-core host CPU at these model sizes), then leaves are materialized as
-    seeded small-normal host values. Benchmark timing depends on shapes,
-    not values."""
-    import numpy as np
-
+    seeded small-normal values ON the compute device — uploading host
+    arrays instead costs 25 s of tunnel bandwidth for the ~280 MB flagship
+    tree (r3 phase breakdown). Benchmark timing depends on shapes, not
+    values."""
     from mrijax.kernels.dispatch import disable_pallas
 
     with disable_pallas():
         shapes = jax.eval_shape(
             lambda: model.init(jax.random.PRNGKey(0), *example_args)
         )
-    rng = np.random.default_rng(0)
 
-    def fill(sd):
-        vals = rng.standard_normal(sd.shape).astype(np.float32) * 0.02
-        return vals.astype(sd.dtype)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
 
-    params = jax.tree.map(fill, shapes)
-    return jax.device_put(params, jax.devices()[0])
+    @jax.jit
+    def materialize(key):
+        out = []
+        for i, sd in enumerate(leaves):
+            k = jax.random.fold_in(key, i)
+            out.append(
+                (0.02 * jax.random.normal(k, sd.shape, jnp.float32)).astype(sd.dtype)
+            )
+        return out
+
+    vals = materialize(jax.random.PRNGKey(0))
+    return jax.device_put(
+        jax.tree_util.tree_unflatten(treedef, vals), jax.devices()[0]
+    )
+
+
+def _source_fingerprint() -> str:
+    """Content hash of everything that shapes the sampling pipeline's HLO:
+    the compute-path sources, the bench constants, and the jax version.
+    Keys the serialized jax.export artifact below — a stale blob can only
+    be loaded when nothing that could change the program has changed."""
+    import hashlib
+    from pathlib import Path
+
+    h = hashlib.sha256()
+    h.update(f"v1|{jax.__version__}|{T_STEPS}|{BATCH}|{DECODE_CHUNK}|"
+             f"{LATENT_SHAPE}|{VOLUME_SHAPE}".encode())
+    root = Path(__file__).parent / "mrijax"
+    for sub in ("models", "kernels", "diffusion", "ops"):
+        for p in sorted((root / sub).glob("*.py")):
+            h.update(p.name.encode())
+            h.update(p.read_bytes())
+    return h.hexdigest()
+
+
+def _export_cached(tag: str, jitted, *example_args):
+    """AOT-export cache: the dominant setup cost through the axon tunnel is
+    not compilation (the persistent cache loads the executable in ~1 s with
+    the stabilized key) but TRACING — lowering the 400-step scan over the
+    136M-param UNet costs 150-210 s of 1-core host Python/MLIR per process
+    (r3 phase breakdown). ``jax.export`` serializes the lowered StableHLO;
+    deserializing skips the trace entirely, and the embedded module's XLA
+    compile still rides the persistent cache. Falls back to a normal
+    export when the blob is missing/stale (source fingerprint) or fails to
+    load."""
+    from pathlib import Path
+
+    blob = Path(__file__).parent / ".jax_cache" / (
+        f"bench_{tag}_{_source_fingerprint()[:16]}.jaxexport"
+    )
+    if blob.exists():
+        try:
+            exp = jax.export.deserialize(blob.read_bytes())
+            _phase(f"{tag}: export blob deserialize")
+            return exp.call
+        except Exception as e:
+            print(f"# export blob load failed ({e}); re-tracing", file=sys.stderr)
+    exp = jax.export.export(jitted)(*example_args)
+    _phase(f"{tag}: trace+lower (no blob)")
+    try:
+        blob.parent.mkdir(exist_ok=True)
+        blob.write_bytes(exp.serialize())
+    except Exception as e:  # cache write must never break the bench
+        print(f"# export blob save failed ({e})", file=sys.stderr)
+    return exp.call
 
 
 def build_pipeline():
@@ -116,6 +224,7 @@ def build_pipeline():
     sched = make_schedule(cosine_beta_schedule(T_STEPS))
     diffusion = GaussianDiffusion(sched)
 
+    _phase("imports+model build")
     unet_params = _init_on_cpu(
         unet_init, jnp.zeros((1, 8, 8, 8, 16), jnp.bfloat16),
         jnp.zeros((1,), jnp.int32),
@@ -123,6 +232,7 @@ def build_pipeline():
     vae_params = _init_on_cpu(
         vae, jnp.zeros((1, 16, 16, 16, 4), jnp.bfloat16), jax.random.PRNGKey(1)
     )
+    _phase("param init + device_put")
 
     # Params are explicit jit ARGUMENTS: closing over them would embed
     # ~280 MB of weights as HLO constants — the remote-compile tunnel
@@ -158,9 +268,13 @@ def build_pipeline():
         T_STEPS * unet_flops + (BATCH // DECODE_CHUNK) * decode_flops
         if unet_flops and decode_flops else None
     )
+    _phase("host-side FLOPs analysis")
 
-    jitted = jax.jit(sample_volume)
-    return (lambda rng: jitted(unet_params, vae_params, rng)), total_flops
+    call = _export_cached(
+        "sample", jax.jit(sample_volume),
+        unet_params, vae_params, jax.random.PRNGKey(0),
+    )
+    return (lambda rng: call(unet_params, vae_params, rng)), total_flops
 
 
 def bench_train_step():
@@ -308,6 +422,79 @@ def bench_train_step_cached(batch: int = 32, remat: bool = True):
     }))
 
 
+def bench_train_2d(context: bool = False):
+    """2D / 2.5D family train-step benchmark (``--train-2d`` /
+    ``--train-25d``) at the reference configs — 2D: bs 64, 128², 1 channel
+    (`slice_cond_2d_ddpm/model.py:27-34`); 2.5D: bs 64, 20 in / 4 out
+    channels, radius-2 context (`ddpm_25d_all_modalities/model.py:32-43`).
+    Same JSON schema as the 3D rows so the driver's BENCH history can
+    track a 2D regression."""
+    import numpy as np
+
+    from mrijax.diffusion import GaussianDiffusion, linear_beta_schedule, make_schedule
+    from mrijax.models import UNet2D
+    from mrijax.train import create_train_state
+    from mrijax.train.steps import make_diffusion_train_step
+
+    bs, size = 64, 128
+    x_ch = 4 if context else 1
+    ctx_ch = 16 if context else 0
+    model = UNet2D(
+        in_channels=x_ch + ctx_ch, out_channels=x_ch, base_channels=64,
+        channel_mults=(1, 2, 4, 8), dtype=jnp.bfloat16,
+    )
+    diffusion = GaussianDiffusion(
+        make_schedule(linear_beta_schedule(1000)), loss_type="mse"
+    )
+    init_args = [
+        jnp.zeros((1, 16, 16, x_ch), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
+    ]
+    if context:
+        init_args.append(jnp.zeros((1, 16, 16, ctx_ch), jnp.bfloat16))
+    params = _init_on_cpu(model, *init_args)
+    state = jax.device_put(create_train_state(params, 2e-4), jax.devices()[0])
+    step = make_diffusion_train_step(model, diffusion, donate=False)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jax.device_put(
+            rng.normal(size=(bs, size, size, x_ch)).astype(np.float32)
+        ),
+        "z_pos": jax.device_put(rng.uniform(size=(bs,)).astype(np.float32)),
+    }
+    if context:
+        batch["context"] = jax.device_put(
+            rng.normal(size=(bs, size, size, ctx_ch)).astype(np.float32)
+        )
+    key = jax.random.PRNGKey(0)
+
+    step_flops = _flops_of(lambda s, b, k: step(s, b, k), state, batch, key)
+
+    state, loss = step(state, batch, key)
+    _ = float(loss)  # compile + sync
+    n = 6
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, loss = step(state, batch, jax.random.fold_in(key, i))
+        _ = float(loss)
+    dt = (time.perf_counter() - t0) / n
+    fam = "ddpm_25d" if context else "slice_cond_2d"
+    print(json.dumps({
+        "metric": f"{fam}_train_step_time",
+        "value": round(dt, 4),
+        "unit": (
+            f"sec/step (bs={bs} {size}x{size}x{x_ch}"
+            f"{f' + {ctx_ch}ch context' if context else ''}, "
+            "T=1000 linear, MSE + Adam)"
+        ),
+        "vs_baseline": None,
+        "images_per_s": round(bs / dt, 1),
+        "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
+        "mfu": _mfu(step_flops, dt),
+    }))
+
+
 def main():
     import sys
 
@@ -317,6 +504,12 @@ def main():
     if "--train-cached" in sys.argv:
         bench_train_step_cached()
         return
+    if "--train-2d" in sys.argv:
+        bench_train_2d(context=False)
+        return
+    if "--train-25d" in sys.argv:
+        bench_train_2d(context=True)
+        return
     t_setup = time.perf_counter()
     sample, pipeline_flops = build_pipeline()
     rng = jax.random.PRNGKey(42)
@@ -325,6 +518,7 @@ def main():
     # tunnel's block_until_ready does not reliably block)
     vol = sample(rng)
     _ = float(jnp.asarray(vol, jnp.float32).mean())
+    _phase("warmup run")
     setup_s = time.perf_counter() - t_setup
 
     n_runs = 2
