@@ -25,44 +25,14 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Session-proof persistent compile cache. The key stabilization is what
+# makes it hit across axon tunnel sessions (worker rotation used to mint a
+# fresh key per session — five 18 MB jit_sample_volume entries accumulated
+# over round 2 with IDENTICAL lowered StableHLO); see
+# mrijax/compile_cache.py for the full mechanism and safety argument.
+from mrijax.compile_cache import enable_compile_cache  # noqa: E402
 
-
-def _stabilize_cache_key() -> None:
-    """Make the persistent-cache key stable across axon tunnel sessions.
-
-    Root cause of the r1/r2 driver-bench cache misses (181-199 s of setup
-    every run): the axon worker pool rotates between sessions, and each
-    worker's ``platform_version`` ("axon 0.1.0; ...; compat c49; Built on
-    <date> cl/<n>") and serialized topology feed jax's cache key — so an
-    identical computation gets a NEW key whenever the tunnel lands on a
-    different worker build (five distinct ``jit_sample_volume-*`` entries
-    accumulated over round 2 with unchanged HLO; verified by hashing the
-    lowered StableHLO across sessions: identical text, different keys).
-
-    Fix: hash only the platform NAME, not the worker build string or the
-    topology blob. Safe because (a) the key still contains the full
-    computation + jaxlib version + XLA flags, and (b) a stale executable
-    from an incompatible worker build fails DEserialization cleanly and
-    jax falls back to compilation (jax_raise_persistent_cache_errors is
-    False), repopulating the entry — worst case is exactly today's
-    behavior, best case (same build, the common case within days) is a
-    ~20 s cache load instead of a ~170 s compile.
-    """
-    try:
-        from jax._src import cache_key as _ck
-
-        _ck._hash_platform = lambda h, backend: _ck._hash_string(
-            h, backend.platform
-        )
-        _ck._hash_accelerator_config = lambda h, accs: None
-        jax.config.update("jax_raise_persistent_cache_errors", False)
-    except Exception as e:  # never let cache plumbing break the bench
-        print(f"# cache-key stabilization unavailable: {e}", file=sys.stderr)
-
-
-_stabilize_cache_key()
+enable_compile_cache(str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
 
 _t_phase = time.perf_counter()
 

@@ -820,6 +820,11 @@ def build_parser():
         help="force the JAX backend (authoritative, unlike JAX_PLATFORMS "
              "which some PJRT plugins ignore)",
     )
+    p.add_argument(
+        "--compile-cache", default=None, metavar="DIR",
+        help="persistent XLA compile cache (default: $MRIJAX_COMPILE_CACHE; "
+             "session-proof key, see mrijax.compile_cache)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("train", help="train a model family")
@@ -950,6 +955,11 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from mrijax.compile_cache import enable_compile_cache
+
+    cache_dir = enable_compile_cache(args.compile_cache)
+    if cache_dir:
+        print(f"[cli] persistent compile cache: {cache_dir}")
     return args.fn(args)
 
 

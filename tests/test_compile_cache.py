@@ -1,0 +1,63 @@
+"""Persistent compile cache enabler + session-proof key stabilization."""
+
+import jax
+import jax.numpy as jnp
+
+from mrijax.compile_cache import enable_compile_cache, stabilize_cache_key
+
+
+def test_enable_compile_cache_writes_entries(tmp_path, monkeypatch):
+    monkeypatch.delenv("MRIJAX_COMPILE_CACHE", raising=False)
+    assert enable_compile_cache(None) is None  # no dir, no env -> no-op
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        got = enable_compile_cache(str(tmp_path / "cc"), min_compile_secs=0.0)
+        assert got == str(tmp_path / "cc")
+
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x @ x.T).sum()
+
+        _ = float(f(jnp.ones((64, 64))))
+        entries = list((tmp_path / "cc").glob("*"))
+        assert entries, "no persistent cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", old_min
+        )
+
+
+def test_enable_compile_cache_env_var(tmp_path, monkeypatch):
+    monkeypatch.setenv("MRIJAX_COMPILE_CACHE", str(tmp_path / "envcc"))
+    old_dir = jax.config.jax_compilation_cache_dir
+    try:
+        assert enable_compile_cache(None) == str(tmp_path / "envcc")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+
+
+def test_stabilize_cache_key_patches_jax():
+    """After stabilization the key hashes only the platform NAME — two
+    fake backends differing only in build string produce the same hash."""
+    import hashlib
+
+    assert stabilize_cache_key()
+    from jax._src import cache_key as ck
+
+    class FakeBackend:
+        platform = "tpu"
+
+        def __init__(self, version):
+            self.platform_version = version
+
+    h1, h2 = hashlib.sha256(), hashlib.sha256()
+    ck._hash_platform(h1, FakeBackend("axon 0.1.0; compat c49"))
+    ck._hash_platform(h2, FakeBackend("axon 0.1.0; compat c50"))
+    assert h1.hexdigest() == h2.hexdigest()
+    # accelerator config (worker topology) no longer contributes
+    h3 = hashlib.sha256()
+    ck._hash_accelerator_config(h3, None)
+    assert h3.hexdigest() == hashlib.sha256().hexdigest()
