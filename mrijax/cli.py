@@ -127,7 +127,7 @@ def cmd_sample(args):
     from mrijax.train.experiments import (
         build_diffusion, build_unet2d, build_unet3d, build_vae3d,
     )
-    from mrijax.train.state import create_train_state
+    from mrijax.train.state import create_train_state, inference_params
 
     cfg, run_dir = _load_run(args.run_dir)
     out_dir = Path(args.out_dir or run_dir / "samples")
@@ -161,9 +161,10 @@ def cmd_sample(args):
                     jnp.zeros((1,), jnp.int32), jnp.zeros((1,)), *zeros_ctx,
                 ),
                 cfg.train.learning_rate,
+                ema=cfg.train.ema_decay is not None,
             )
         state, _ = _restore_params(run_dir, template)
-        params = state.params
+        params = inference_params(state)
 
         if args.mode == "grid":
             imgs = generate.sample_2d(
@@ -227,6 +228,7 @@ def cmd_sample(args):
                 unet_init.init(key, jnp.zeros((1, 8, 8, 8, cfg.vae.latent_channels)),
                                jnp.zeros((1,), jnp.int32)),
                 cfg.train.learning_rate,
+                ema=cfg.train.ema_decay is not None,
             )
         vae_state, _ = _restore_params(run_dir / "vae", vae_template)
         ldm_state, extra = _restore_params(run_dir / "ldm", unet_template)
@@ -243,7 +245,7 @@ def cmd_sample(args):
                 [jnp.asarray(ds[i]["volume"]) for i in range(min(2, len(ds)))]
             )
             diag = generate.Vae3dDiagnostics(
-                unet, ldm_state.params, vae, vae_state.params, diffusion,
+                unet, inference_params(ldm_state), vae, vae_state.params, diffusion,
                 latent_scale=latent_scale,
             )
             recon, l1 = diag.reconstruction(real)
@@ -270,7 +272,7 @@ def cmd_sample(args):
             vae, vae_state.params, (*cfg.data.patch_size, cfg.vae.in_channels)
         )
         vols = generate.generate_3d_volumes(
-            unet, ldm_state.params, vae, vae_state.params, diffusion,
+            unet, inference_params(ldm_state), vae, vae_state.params, diffusion,
             num_volumes=args.num_samples,
             latent_spatial=latent_shape[:-1], latent_channels=latent_shape[-1],
             latent_scale=latent_scale, key=key, ddim_steps=args.ddim_steps,
@@ -302,7 +304,7 @@ def cmd_eval(args):
         evaluate_conditional_2d,
     )
     from mrijax.train.experiments import build_diffusion, build_unet2d
-    from mrijax.train.state import create_train_state
+    from mrijax.train.state import create_train_state, inference_params
 
     cfg, run_dir = _load_run(args.run_dir)
     if cfg.family not in ("slice_cond_2d", "ddpm_25d"):
@@ -320,9 +322,10 @@ def cmd_eval(args):
             model.init(key, jnp.zeros((1, s, s, x_ch)),
                        jnp.zeros((1,), jnp.int32), jnp.zeros((1,)), *zeros_ctx),
             cfg.train.learning_rate,
+            ema=cfg.train.ema_decay is not None,
         )
     state, _ = _restore_params(run_dir, template)
-    params = state.params
+    params = inference_params(state)
 
     # volume-level split (no slice leakage)
     if is_25d:
@@ -573,7 +576,7 @@ def cmd_import_torch(args):
     from mrijax.io import CheckpointManager
     from mrijax.io.torch_convert import convert_reference_unet2d, infer_timesteps
     from mrijax.train.experiments import build_unet2d
-    from mrijax.train.state import create_train_state
+    from mrijax.train.state import create_train_state, inference_params
 
     cfg = PRESETS[args.preset](args.root_dir or "")
     cfg.name = args.name or "imported"
@@ -638,7 +641,7 @@ def _import_torch_3d(args, cfg):
         convert_reference_vae3d,
     )
     from mrijax.train.experiments import build_unet3d, build_vae3d
-    from mrijax.train.state import create_train_state
+    from mrijax.train.state import create_train_state, inference_params
 
     if not args.vae_checkpoint:
         raise SystemExit(
@@ -714,7 +717,7 @@ def cmd_export(args):
 
     from mrijax.io import save_params_npz
     from mrijax.train.experiments import build_unet2d, build_unet3d, build_vae3d
-    from mrijax.train.state import create_train_state
+    from mrijax.train.state import create_train_state, inference_params
 
     cfg, run_dir = _load_run(args.run_dir)
     s = cfg.data.image_size
@@ -732,7 +735,7 @@ def cmd_export(args):
                 cfg.train.learning_rate,
             )
         state, extra = _restore_params(run_dir, template)
-        save_params_npz(out, state.params,
+        save_params_npz(out, inference_params(state),
                         meta={"family": cfg.family, "config": cfg.to_dict(),
                               **{k: v for k, v in extra.items()
                                  if isinstance(v, (int, float, str))}})
@@ -752,12 +755,13 @@ def cmd_export(args):
                                jnp.zeros((1, 8, 8, 8, cfg.vae.latent_channels)),
                                jnp.zeros((1,), jnp.int32)),
                 cfg.train.learning_rate,
+                ema=cfg.train.ema_decay is not None,
             )
         vae_state, _ = _restore_params(run_dir / "vae", vae_template)
         ldm_state, extra = _restore_params(run_dir / "ldm", unet_template)
         save_params_npz(out.with_suffix(".vae.npz"), vae_state.params,
                         meta={"family": "vae3d", "config": cfg.to_dict()})
-        save_params_npz(out, ldm_state.params,
+        save_params_npz(out, inference_params(ldm_state),
                         meta={"family": cfg.family, "config": cfg.to_dict(),
                               "latent_scale": float(extra.get("latent_scale", 1.0))})
         print(f"[cli] exported LDM -> {out} and VAE -> {out.with_suffix('.vae.npz')}")

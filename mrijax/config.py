@@ -98,6 +98,10 @@ class TrainConfig:
     cache_latents: bool = False                # 3D LDM stage: precompute
                                                # frozen-VAE latents once and
                                                # train from latent crops
+    ema_decay: Optional[float] = None          # EMA of the diffusion-model
+                                               # params (e.g. 0.999); shadow
+                                               # tree is checkpointed and
+                                               # preferred for sampling/eval
 
 
 @dataclass

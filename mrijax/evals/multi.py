@@ -135,7 +135,7 @@ def _evaluate_one(
     from mrijax.data import BatchLoader, SliceDataset2D, volume_split_indices
     from mrijax.evals.harness import evaluate_conditional_2d
     from mrijax.train.experiments import build_diffusion, build_unet2d
-    from mrijax.train.state import create_train_state
+    from mrijax.train.state import create_train_state, inference_params
     from mrijax.cli import _restore_params
 
     run_dir = Path(rc["run_dir"])
@@ -158,9 +158,10 @@ def _evaluate_one(
                        jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
                        *zeros_ctx),
             cfg.train.learning_rate,
+            ema=cfg.train.ema_decay is not None,
         )
     state, _ = _restore_params(run_dir, template)
-    params = state.params
+    params = inference_params(state)
 
     if is_25d:
         from mrijax.data import MultiModalSliceDataset25D

@@ -3,6 +3,8 @@
 from mrijax.train.state import (
     TrainState,
     create_train_state,
+    ema_update,
+    inference_params,
     PlateauScheduler,
     EarlyStopper,
     get_learning_rate,
@@ -24,6 +26,8 @@ from mrijax.train.steps import (
 __all__ = [
     "TrainState",
     "create_train_state",
+    "ema_update",
+    "inference_params",
     "PlateauScheduler",
     "EarlyStopper",
     "get_learning_rate",

@@ -231,13 +231,14 @@ def train_slice_cond_2d(cfg: ExperimentConfig, mesh=None, logger=None) -> Traine
         seed=cfg.train.seed, mesh=mesh,
     )
     state = jax.device_put(
-        create_train_state(params, cfg.train.learning_rate),
+        create_train_state(params, cfg.train.learning_rate,
+                           ema=cfg.train.ema_decay is not None),
         replicated_sharding(mesh),
     )
 
     train_step = make_diffusion_train_step(
         model, diffusion, t_min=cfg.diffusion.t_min,
-        nan_guard=cfg.train.nan_guard,
+        nan_guard=cfg.train.nan_guard, ema_decay=cfg.train.ema_decay,
     )
     eval_step = make_diffusion_eval_step(model, diffusion, t_min=cfg.diffusion.t_min)
     trainer = _trainer(
@@ -279,13 +280,14 @@ def train_ddpm_25d(cfg: ExperimentConfig, mesh=None, logger=None) -> TrainerResu
         seed=cfg.train.seed, mesh=mesh,
     )
     state = jax.device_put(
-        create_train_state(params, cfg.train.learning_rate),
+        create_train_state(params, cfg.train.learning_rate,
+                           ema=cfg.train.ema_decay is not None),
         replicated_sharding(mesh),
     )
 
     train_step = make_diffusion_train_step(
         model, diffusion, t_min=cfg.diffusion.t_min,
-        nan_guard=cfg.train.nan_guard,
+        nan_guard=cfg.train.nan_guard, ema_decay=cfg.train.ema_decay,
     )
     eval_step = make_diffusion_eval_step(model, diffusion, t_min=cfg.diffusion.t_min)
     trainer = _trainer(
@@ -457,7 +459,8 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
         seed=cfg.train.seed, mesh=mesh,
     )
     ldm_state = jax.device_put(
-        create_train_state(unet_params, cfg.train.learning_rate),
+        create_train_state(unet_params, cfg.train.learning_rate,
+                           ema=cfg.train.ema_decay is not None),
         replicated_sharding(mesh),
     )
 
@@ -466,7 +469,7 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
     if use_cache:
         ldm_step = make_cached_latent_train_step(
             unet, diffusion, t_min=cfg.diffusion.t_min,
-            nan_guard=cfg.train.nan_guard,
+            nan_guard=cfg.train.nan_guard, ema_decay=cfg.train.ema_decay,
         )
         ldm_eval = make_cached_latent_eval_step(unet, diffusion)
 
@@ -480,7 +483,7 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
     else:
         ldm_step = make_latent_diffusion_train_step(
             unet, vae, diffusion, t_min=cfg.diffusion.t_min,
-            nan_guard=cfg.train.nan_guard,
+            nan_guard=cfg.train.nan_guard, ema_decay=cfg.train.ema_decay,
         )
         ldm_eval = make_latent_diffusion_eval_step(unet, vae, diffusion)
 

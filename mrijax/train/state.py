@@ -23,17 +23,55 @@ from flax.training import train_state
 
 
 class TrainState(train_state.TrainState):
-    """Standard flax TrainState (params, tx, opt_state, step)."""
+    """flax TrainState (params, tx, opt_state, step) + optional EMA
+    shadow parameters.
+
+    ↗ capability the reference lacks: an exponential moving average of the
+    UNet weights, the standard variance-reduction trick for diffusion
+    sample quality. When enabled (``TrainConfig.ema_decay``), the jitted
+    train step updates the shadow tree in the same XLA program and
+    checkpoints carry it; sampling/eval prefer it via
+    ``inference_params``."""
+
+    ema_params: Any = None
 
 
 def make_adam(learning_rate: float) -> optax.GradientTransformation:
     return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
 
 
-def create_train_state(params, learning_rate: float, apply_fn=None) -> TrainState:
+def create_train_state(
+    params, learning_rate: float, apply_fn=None, *, ema: bool = False
+) -> TrainState:
+    import jax
+
+    # the shadow starts equal to params but must be a DISTINCT buffer:
+    # donated train steps would otherwise donate the same buffer twice
+    shadow = jax.tree.map(lambda a: jnp.array(a, copy=True), params) if ema else None
     return TrainState.create(
-        apply_fn=apply_fn, params=params, tx=make_adam(learning_rate)
+        apply_fn=apply_fn, params=params, tx=make_adam(learning_rate),
+        ema_params=shadow,
     )
+
+
+def ema_update(state: TrainState, decay: float) -> TrainState:
+    """shadow ← decay·shadow + (1−decay)·params, inside jit (a pure
+    tree_map — fuses into the train step's program)."""
+    import jax
+
+    if state.ema_params is None:
+        return state
+    new_ema = jax.tree.map(
+        lambda e, p: decay * e + (1.0 - decay) * p.astype(e.dtype),
+        state.ema_params, state.params,
+    )
+    return state.replace(ema_params=new_ema)
+
+
+def inference_params(state: TrainState):
+    """The parameters to sample/evaluate with: the EMA shadow when
+    tracked, else the raw params."""
+    return state.params if state.ema_params is None else state.ema_params
 
 
 def get_learning_rate(state: TrainState) -> float:

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from mrijax.diffusion import GaussianDiffusion
+from mrijax.train.state import ema_update
 
 
 def sample_timesteps(key, batch_size: int, timesteps: int, t_min: int = 0):
@@ -52,11 +53,13 @@ def apply_if_finite(state, grads, loss):
 
 def make_diffusion_train_step(
     model, diffusion: GaussianDiffusion, *, t_min: int = 0, donate: bool = True,
-    nan_guard: bool = False,
+    nan_guard: bool = False, ema_decay=None,
 ):
     """Train step for the 2D / 2.5D DDPMs.
 
     batch: {"image": (B, H, W, C), "z_pos": (B,) [, "context": (B, H, W, Ck)]}
+    ``ema_decay``: when set, the state's EMA shadow params are updated in
+    the same program (state must be created with ``ema=True``).
     """
 
     def loss_fn(params, batch, t, noise):
@@ -75,8 +78,11 @@ def make_diffusion_train_step(
         noise = jax.random.normal(nkey, batch["image"].shape, jnp.float32)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, t, noise)
         if nan_guard:
-            return apply_if_finite(state, grads, loss)
-        state = state.apply_gradients(grads=grads)
+            state, loss = apply_if_finite(state, grads, loss)
+        else:
+            state = state.apply_gradients(grads=grads)
+        if ema_decay is not None:
+            state = ema_update(state, ema_decay)
         return state, loss
 
     return train_step
@@ -169,7 +175,7 @@ def estimate_latent_scale(vae, vae_params, batches) -> float:
 
 def make_latent_diffusion_train_step(
     unet, vae, diffusion: GaussianDiffusion, *, t_min: int = 1, donate: bool = True,
-    nan_guard: bool = False,
+    nan_guard: bool = False, ema_decay=None,
 ):
     """Stage-2 LDM step: frozen-VAE encode → scale → min-SNR diffusion loss.
 
@@ -192,8 +198,11 @@ def make_latent_diffusion_train_step(
         noise = jax.random.normal(nkey, z.shape, jnp.float32)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, z, t, noise)
         if nan_guard:
-            return apply_if_finite(state, grads, loss)
-        state = state.apply_gradients(grads=grads)
+            state, loss = apply_if_finite(state, grads, loss)
+        else:
+            state = state.apply_gradients(grads=grads)
+        if ema_decay is not None:
+            state = ema_update(state, ema_decay)
         return state, loss
 
     return train_step
@@ -201,7 +210,7 @@ def make_latent_diffusion_train_step(
 
 def make_cached_latent_train_step(
     unet, diffusion: GaussianDiffusion, *, t_min: int = 1, donate: bool = True,
-    nan_guard: bool = False,
+    nan_guard: bool = False, ema_decay=None,
 ):
     """Stage-2 LDM step over PRECOMPUTED frozen-VAE latents.
 
@@ -236,8 +245,11 @@ def make_cached_latent_train_step(
         noise = jax.random.normal(nkey, z.shape, jnp.float32)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, z, t, noise)
         if nan_guard:
-            return apply_if_finite(state, grads, loss)
-        state = state.apply_gradients(grads=grads)
+            state, loss = apply_if_finite(state, grads, loss)
+        else:
+            state = state.apply_gradients(grads=grads)
+        if ema_decay is not None:
+            state = ema_update(state, ema_decay)
         return state, loss
 
     return train_step
