@@ -441,6 +441,37 @@ def cmd_eval(args):
     return 0
 
 
+def cmd_eval_multi(args):
+    """Batch-evaluate a config list of run dirs (the reference's
+    `metrics_both.py` harness as a CLI): per-model metrics.json +
+    summary.json + RUNNING/progress/ERROR breadcrumbs."""
+    from mrijax.evals import evaluate_runs
+
+    run_configs = json.loads(Path(args.config).read_text())
+    if isinstance(run_configs, dict):
+        run_configs = run_configs.get("runs")
+    if not isinstance(run_configs, list) or not all(
+        isinstance(rc, dict) for rc in run_configs
+    ):
+        raise SystemExit(
+            "--config must be a JSON list of run configs (or {\"runs\": "
+            "[...]}) — each entry: {\"run_dir\": ..., \"num_samples\": N, "
+            "\"ddim_steps\": N, \"split\": ..., \"compute_pr\": bool, "
+            "\"name\": ..., per-run *_weights overrides}"
+        )
+    summary = evaluate_runs(
+        run_configs,
+        args.out_dir,
+        inception_weights=args.inception_weights,
+        lpips_weights=args.lpips_weights,
+        resnet18_weights=args.resnet18_weights,
+    )
+    failed = [k for k, v in summary.items() if "error" in v]
+    print(f"[cli] evaluated {len(summary)} runs "
+          f"({len(failed)} failed: {failed}) -> {args.out_dir}/summary.json")
+    return 1 if failed and len(failed) == len(summary) else 0
+
+
 def cmd_eval_seg(args):
     """Dice + HD95 per BraTS label between predicted and reference
     segmentation label maps (NIfTI), matched by filename when directories
@@ -879,6 +910,17 @@ def build_parser():
     e.add_argument("--data-parallel", action="store_true",
                    help="shard the matched-condition sampling over all devices")
     e.set_defaults(fn=cmd_eval)
+
+    em = sub.add_parser("eval-multi",
+                        help="batch-evaluate a JSON list of run dirs")
+    em.add_argument("--config", required=True,
+                    help="JSON list of run configs (see evals.multi)")
+    em.add_argument("--out-dir", required=True)
+    em.add_argument("--inception-weights", default=None,
+                    help="harness-wide default; per-run override via config")
+    em.add_argument("--lpips-weights", default=None)
+    em.add_argument("--resnet18-weights", default=None)
+    em.set_defaults(fn=cmd_eval_multi)
 
     ex = sub.add_parser("export", help="export best weights to portable npz")
     ex.add_argument("--run-dir", required=True)

@@ -236,3 +236,48 @@ def test_cli_import_torch_3d(tmp_path):
             "import-torch", "--preset", "ddpm_3d_ldm",
             "--checkpoint", str(ldm_pt), "--out", str(tmp_path / "x"),
         ] + tiny)
+
+
+def test_cli_eval_multi(tmp_path):
+    """eval-multi: JSON config list -> summary.json with per-run results
+    (errors recorded per model, batch not fatal)."""
+    cfg = [{"run_dir": str(tmp_path / "missing"), "name": "gone"}]
+    cfg_path = tmp_path / "runs.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = main(["eval-multi", "--config", str(cfg_path),
+               "--out-dir", str(tmp_path / "out")])
+    assert rc == 1  # every run failed
+    summary = json.loads((tmp_path / "out" / "summary.json").read_text())
+    assert "error" in summary["gone"]
+
+    with pytest.raises(SystemExit, match="JSON list"):
+        cfg_path.write_text(json.dumps({"not": "a list"}))
+        main(["eval-multi", "--config", str(cfg_path),
+              "--out-dir", str(tmp_path / "out2")])
+
+
+def test_cli_eval_multi_happy_path(brats_root, tmp_path):
+    """Train a tiny run, then eval-multi over it: per-model metrics.json,
+    summary.json with finite fid_rand, progress breadcrumb left behind."""
+    reset_termination()
+    ckpt = str(tmp_path / "ck")
+    rc = main([
+        "train", "--preset", "slice_cond_2d", "--root-dir", str(brats_root),
+        "--name", "m2d",
+    ] + TINY_2D + [f"train.checkpoint_dir={json.dumps(ckpt)}"])
+    assert rc == 0
+    run_dir = Path(ckpt) / "slice_cond_2d" / "m2d"
+    cfg = [{"run_dir": str(run_dir), "name": "m2d", "num_samples": 8,
+            "batch_size": 8, "ddim_steps": 3, "split": "all",
+            "diversity_pairs": 2}]
+    cfg_path = tmp_path / "runs.json"
+    cfg_path.write_text(json.dumps({"runs": cfg}))
+    out_dir = tmp_path / "evalout"
+    rc = main(["eval-multi", "--config", str(cfg_path),
+               "--out-dir", str(out_dir)])
+    assert rc == 0
+    summary = json.loads((out_dir / "summary.json").read_text())
+    assert np.isfinite(summary["m2d"]["fid_rand"])
+    assert (out_dir / "m2d.metrics.json").exists()
+    assert "8/8 samples" in (out_dir / "m2d_progress.txt").read_text()
+    assert not (out_dir / "m2d_RUNNING.txt").exists()
