@@ -465,9 +465,82 @@ def bench_train_2d(context: bool = False):
     }))
 
 
+def bench_sweep():
+    """Same-session A/B sweep of the sampling pipeline (``--sweep``):
+    batch × decode-chunk × DDIM steps measured in ONE process so the
+    numbers are comparable despite the ~2.5× tunnel-session variance
+    (PERF.md "Cold-setup anatomy"). Prints one JSON line per config."""
+    import numpy as np
+
+    from mrijax.diffusion import GaussianDiffusion, cosine_beta_schedule, make_schedule
+    from mrijax.models import UNet3D, VAE3D
+
+    unet_kw = dict(
+        in_channels=16, base_channels=128, channel_mults=(1, 2, 4),
+        use_attention=True, num_heads=4, dtype=jnp.bfloat16,
+    )
+    unet = UNet3D(use_flash_attention=jax.default_backend() == "tpu", **unet_kw)
+    unet_init = UNet3D(use_flash_attention=False, **unet_kw)
+    vae = VAE3D(in_channels=4, base_channels=32, num_down=3,
+                latent_channels=16, dtype=jnp.bfloat16)
+    diffusion = GaussianDiffusion(make_schedule(cosine_beta_schedule(T_STEPS)))
+    unet_params = _init_on_cpu(
+        unet_init, jnp.zeros((1, 8, 8, 8, 16), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32),
+    )
+    vae_params = _init_on_cpu(
+        vae, jnp.zeros((1, 16, 16, 16, 4), jnp.bfloat16), jax.random.PRNGKey(1)
+    )
+
+    def make(batch, chunk, steps):
+        def sample_volume(up, vp, rng):
+            def model_fn(x, t):
+                return unet.apply(up, x, t)
+
+            z = diffusion.ddim_sample(
+                model_fn, (batch, *LATENT_SHAPE[1:]), rng, num_steps=steps
+            )
+            zc = z.reshape(batch // chunk, chunk, *z.shape[1:])
+            vols = jax.lax.map(
+                lambda zz: vae.apply(vp, zz, method="decode_from_latent"), zc
+            )
+            return vols.reshape(batch, *vols.shape[2:])
+
+        return jax.jit(sample_volume)
+
+    configs = [
+        (8, 4, T_STEPS),   # shipped protocol config
+        (16, 4, T_STEPS),  # bigger denoise batch
+        (16, 2, T_STEPS),  # smaller decode chunk at batch 16
+        (8, 4, 50),        # DDIM-50 production fast path
+    ]
+    rng = jax.random.PRNGKey(42)
+    for batch, chunk, steps in configs:
+        fn = make(batch, chunk, steps)
+        vol = fn(unet_params, vae_params, rng)
+        _ = float(jnp.asarray(vol, jnp.float32).mean())
+        _phase(f"sweep b{batch} c{chunk} s{steps}: compile+warmup")
+        n = 2
+        t0 = time.perf_counter()
+        for i in range(n):
+            vol = fn(unet_params, vae_params, jax.random.fold_in(rng, i))
+            _ = float(jnp.asarray(vol, jnp.float32).mean())
+        dt = (time.perf_counter() - t0) / n
+        print(json.dumps({
+            "metric": "3d_ldm_sampling_sweep",
+            "batch": batch, "decode_chunk": chunk, "ddim_steps": steps,
+            "value": round(batch / dt, 4),
+            "unit": "volumes/sec/chip",
+            "secs_per_volume": round(dt / batch, 3),
+        }), flush=True)
+
+
 def main():
     import sys
 
+    if "--sweep" in sys.argv:
+        bench_sweep()
+        return
     if "--train" in sys.argv:
         bench_train_step()
         return
