@@ -283,4 +283,9 @@ def _scalar(x) -> float:
 
 
 def _params_of(state):
+    """Validation parameters: the EMA shadow when tracked — best-by-val,
+    plateau LR, and early stopping must judge the weights that
+    sampling/eval will actually use (``inference_params``)."""
+    if hasattr(state, "ema_params") and state.ema_params is not None:
+        return state.ema_params
     return state.params if hasattr(state, "params") else state
