@@ -134,8 +134,13 @@ def _source_fingerprint() -> str:
     from pathlib import Path
 
     h = hashlib.sha256()
-    h.update(f"v1|{jax.__version__}|{T_STEPS}|{BATCH}|{DECODE_CHUNK}|"
-             f"{LATENT_SHAPE}|{VOLUME_SHAPE}".encode())
+    # backend matters: an exported program is platform-bound, and the
+    # platform check fires at call time, outside the deserialize fallback
+    h.update(f"v1|{jax.__version__}|{jax.default_backend()}|{T_STEPS}|"
+             f"{BATCH}|{DECODE_CHUNK}|{LATENT_SHAPE}|{VOLUME_SHAPE}".encode())
+    # this file defines the pipeline being exported — hash it too, so any
+    # bench edit (schedule, decode strategy, kwargs) invalidates the blob
+    h.update(Path(__file__).read_bytes())
     root = Path(__file__).parent / "mrijax"
     for sub in ("models", "kernels", "diffusion", "ops"):
         for p in sorted((root / sub).glob("*.py")):
@@ -162,6 +167,14 @@ def _export_cached(tag: str, jitted, *example_args):
     if blob.exists():
         try:
             exp = jax.export.deserialize(blob.read_bytes())
+            # the platform check otherwise fires at call time, outside
+            # this fallback (and the fingerprint includes the backend,
+            # so this is a second line of defense)
+            if jax.default_backend() not in exp.platforms:
+                raise ValueError(
+                    f"blob exported for {exp.platforms}, backend is "
+                    f"{jax.default_backend()}"
+                )
             _phase(f"{tag}: export blob deserialize")
             return exp.call
         except Exception as e:

@@ -377,6 +377,9 @@ def cmd_eval(args):
 
     from mrijax.data.loader import _IndexView
 
+    # compile-cost note: the ragged tail batch reaches sample_fn (one extra
+    # trace for its batch dim) only when the full batches don't already
+    # cover --num-samples — the harness breaks before touching it otherwise
     loader = BatchLoader(_IndexView(ds, keep), args.batch_size, shuffle=False,
                          drop_last=mesh is not None, prefetch=0)
 
@@ -593,6 +596,11 @@ def _load_torch_state_dict(path):
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and isinstance(sd.get("state_dict"), dict):
         sd = sd["state_dict"]
+    if not isinstance(sd, dict):
+        raise SystemExit(
+            f"{path} does not contain a state_dict (got {type(sd).__name__}) "
+            "— expected a raw state_dict or {'state_dict': ...} checkpoint"
+        )
     return {k: v for k, v in sd.items()}
 
 
@@ -612,6 +620,12 @@ def cmd_import_torch(args):
     cfg = PRESETS[args.preset](args.root_dir or "")
     cfg.name = args.name or "imported"
     _apply_overrides(cfg, _parse_set(args.set))
+    if cfg.train.ema_decay is not None:
+        # torch checkpoints carry no EMA shadow; a config claiming one
+        # would make the written run dir unrestorable by sample/eval
+        print("[cli] note: train.ema_decay cleared — imported torch "
+              "checkpoints have no EMA shadow")
+        cfg.train.ema_decay = None
 
     if cfg.family == "ddpm_3d_ldm":
         return _import_torch_3d(args, cfg)
@@ -764,6 +778,7 @@ def cmd_export(args):
                            jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
                            *zeros_ctx),
                 cfg.train.learning_rate,
+                ema=cfg.train.ema_decay is not None,
             )
         state, extra = _restore_params(run_dir, template)
         save_params_npz(out, inference_params(state),

@@ -52,6 +52,13 @@ def stabilize_cache_key() -> bool:
     try:
         from jax._src import cache_key as _ck
 
+        # plain attribute assignment cannot fail, so verify the hooks we
+        # are overriding actually exist in THIS jax version — otherwise a
+        # jax rename would leave dead attributes while we report success
+        for name in ("_hash_platform", "_hash_accelerator_config",
+                     "_hash_string"):
+            if not hasattr(_ck, name):
+                raise AttributeError(f"jax._src.cache_key.{name} is gone")
         _ck._hash_platform = lambda h, backend: _ck._hash_string(
             h, backend.platform
         )

@@ -34,7 +34,7 @@ import jax
 
 _lock = threading.Lock()
 _disabled = 0
-_disabling_threads: set = set()
+_disabling_threads: dict = {}  # thread ident -> reentry count
 _warned_cross_thread = False
 
 
@@ -70,11 +70,18 @@ def disable_pallas():
     ident = threading.get_ident()
     with _lock:
         _disabled += 1
-        _disabling_threads.add(ident)
+        _disabling_threads[ident] = _disabling_threads.get(ident, 0) + 1
     try:
         yield
     finally:
+        # remove THIS thread's claim when its own (possibly nested) windows
+        # close — keeping stale idents around until the global count hit 0
+        # would suppress the cross-thread warning for exactly the thread
+        # the guard exists to catch
         with _lock:
             _disabled -= 1
-            if _disabled == 0:
-                _disabling_threads.clear()
+            n = _disabling_threads.get(ident, 1) - 1
+            if n:
+                _disabling_threads[ident] = n
+            else:
+                _disabling_threads.pop(ident, None)

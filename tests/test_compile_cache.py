@@ -61,3 +61,38 @@ def test_stabilize_cache_key_patches_jax():
     h3 = hashlib.sha256()
     ck._hash_accelerator_config(h3, None)
     assert h3.hexdigest() == hashlib.sha256().hexdigest()
+
+
+def test_disable_pallas_thread_accounting():
+    """A thread's claim is released when ITS windows close, not when the
+    global count reaches zero — otherwise the cross-thread trace warning
+    misses the exact thread it exists to catch (r3 review finding)."""
+    import threading
+
+    from mrijax.kernels import dispatch
+
+    inner_state = {}
+    gate_a = threading.Event()
+    gate_b = threading.Event()
+
+    def thread_a():
+        with dispatch.disable_pallas():
+            with dispatch.disable_pallas():  # nested reentry
+                pass
+            inner_state["a_in"] = threading.get_ident() in dispatch._disabling_threads
+        gate_a.set()
+        gate_b.wait(5)
+        inner_state["a_out"] = threading.get_ident() in dispatch._disabling_threads
+
+    with dispatch.disable_pallas():  # main thread holds a window open
+        t = threading.Thread(target=thread_a)
+        t.start()
+        gate_a.wait(5)
+        # A's windows are closed; its ident must be gone even though the
+        # global count is still nonzero (main's window)
+        gate_b.set()
+        t.join(5)
+    assert inner_state["a_in"] is True
+    assert inner_state["a_out"] is False
+    assert threading.get_ident() not in dispatch._disabling_threads
+    assert dispatch._disabled == 0
