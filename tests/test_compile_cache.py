@@ -96,3 +96,46 @@ def test_disable_pallas_thread_accounting():
     assert inner_state["a_out"] is False
     assert threading.get_ident() not in dispatch._disabling_threads
     assert dispatch._disabled == 0
+
+
+def test_cache_hits_across_processes(tmp_path):
+    """The stabilized key must make a SECOND process reuse the first
+    process's entries (the round-3 flagship fix): same computation + same
+    cache dir -> no new cache files, and jax logs a persistent-cache hit."""
+    import subprocess
+    import sys
+
+    prog = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import logging
+logging.basicConfig(level=logging.DEBUG)
+import jax, jax.numpy as jnp
+# the env var is IGNORED by out-of-tree PJRT plugins (e.g. axon); the
+# config update is the authoritative backend pin (CLAUDE.md)
+jax.config.update("jax_platforms", "cpu")
+from mrijax.compile_cache import enable_compile_cache
+enable_compile_cache(sys.argv[1], min_compile_secs=0.0)
+@jax.jit
+def f(x):
+    return jnp.tanh(x @ x.T).sum()
+print("val", float(f(jnp.ones((96, 96)))))
+"""
+    cc = tmp_path / "cc"
+    env = {**__import__("os").environ}
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "-c", prog, str(cc)], env=env,
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    files1 = sorted(p.name for p in cc.glob("jit_f-*"))
+    assert files1, "first run wrote no jit_f entry"
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    files2 = sorted(p.name for p in cc.glob("jit_f-*"))
+    assert files2 == files1, f"second process minted a new key: {files2}"
+    assert "Cache hit for key" in r2.stderr
