@@ -272,10 +272,20 @@ def test_streaming_harness_equals_reference_protocol(tmp_path):
         ff = fe(sample_fn(b, None))
         real_f.append(rf)
         fake_f.append(ff)
-        # torch.bucketize(z, edges[1:-1]) of the reference == int(z*8)
-        # clipped, for z off the edges
-        for i, z in enumerate(b["z_pos"]):
-            bi = min(int(z * 8), 7)
+        # binning replica uses the reference's LITERAL torch.bucketize
+        # convention (`metrics.py:370` with edges = linspace(0,1,9)) when
+        # torch is available, falling back to the equivalent int(z*8)
+        try:
+            import torch
+
+            edges = torch.linspace(0.0, 1.0, 9)
+            bins = torch.bucketize(
+                torch.as_tensor(np.asarray(b["z_pos"])), edges[1:-1],
+                right=False,
+            ).numpy()
+        except ImportError:  # pragma: no cover
+            bins = np.minimum((np.asarray(b["z_pos"]) * 8).astype(int), 7)
+        for i, bi in enumerate(bins):
             bin_real[bi].append(rf[i])
             bin_fake[bi].append(ff[i])
     rfa, ffa = np.concatenate(real_f), np.concatenate(fake_f)
