@@ -73,9 +73,17 @@ def evaluate_runs(
     out_dir.mkdir(parents=True, exist_ok=True)
     extractors = _ExtractorCache()
     summary = {}
+    seen_names: dict = {}
     for i, rc in enumerate(run_configs):
         run_dir = Path(rc["run_dir"])
         name = rc.get("name") or run_dir.name
+        # duplicate names would silently overwrite each other's
+        # metrics.json and summary entry — disambiguate deterministically
+        if name in seen_names:
+            seen_names[name] += 1
+            name = f"{name}_{seen_names[name]}"
+        else:
+            seen_names[name] = 0
         crumb = out_dir / f"{name}_RUNNING.txt"
         crumb.write_text(f"started {time.ctime()}\n")
         try:

@@ -293,3 +293,14 @@ def test_multi_eval_bad_weights_is_per_model_error(tmp_path):
     )
     assert "error" in summary["m1"]
     assert (tmp_path / "out" / "summary.json").exists()
+
+
+def test_multi_eval_duplicate_names_disambiguated(tmp_path):
+    from mrijax.evals import evaluate_runs
+
+    summary = evaluate_runs(
+        [{"run_dir": str(tmp_path / "a"), "name": "m"},
+         {"run_dir": str(tmp_path / "b"), "name": "m"}],
+        tmp_path / "out", progress=False,
+    )
+    assert set(summary) == {"m", "m_1"}
