@@ -19,20 +19,46 @@ BENCH_r{N}.json history tracks our absolute number either way.
 """
 
 import json
+import os
+import pathlib
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-# Session-proof persistent compile cache. The key stabilization is what
-# makes it hit across axon tunnel sessions (worker rotation used to mint a
-# fresh key per session — five 18 MB jit_sample_volume entries accumulated
-# over round 2 with IDENTICAL lowered StableHLO); see
-# mrijax/compile_cache.py for the full mechanism and safety argument.
+# Session-proof persistent compile cache (key stabilization survives axon
+# worker rotation — see mrijax/compile_cache.py). But on a REMOTE-worker
+# tunnel the client cache is a net loss: a cache hit makes the client ship
+# the deserialized 18.7 MB flagship executable to the worker (175-260 s at
+# tunnel bandwidth, measured A/B in PERF.md "Cold-setup anatomy") where
+# sending the ~250 KB HLO and letting the worker compile costs ~46 s. So:
+# enable it on local backends, skip it when the backend is a tunnel.
+# MRIJAX_COMPILE_CACHE forces it on; MRIJAX_DISABLE_COMPILE_CACHE off.
 from mrijax.compile_cache import enable_compile_cache  # noqa: E402
 
-enable_compile_cache(str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
+
+def _client_cache_worth_it() -> bool:
+    if os.environ.get("MRIJAX_COMPILE_CACHE"):
+        return True
+    try:
+        pv = jax.devices()[0].client.platform_version
+    except Exception:
+        return True
+    return "axon" not in pv.lower()
+
+
+if _client_cache_worth_it():
+    enable_compile_cache(
+        os.environ.get("MRIJAX_COMPILE_CACHE")
+        or str(pathlib.Path(__file__).parent / ".jax_cache")
+    )
+else:
+    print(
+        "# client compile cache off: remote-tunnel worker compile beats "
+        "executable shipping (PERF.md); set MRIJAX_COMPILE_CACHE to force",
+        file=sys.stderr,
+    )
 
 _t_phase = time.perf_counter()
 

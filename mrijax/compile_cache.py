@@ -33,6 +33,13 @@ def enable_compile_cache(
     """Enable the persistent compile cache at ``cache_dir`` (default: the
     ``MRIJAX_COMPILE_CACHE`` env var; no-op returning None when neither is
     set). Returns the directory in use."""
+    if os.environ.get("MRIJAX_DISABLE_COMPILE_CACHE"):
+        # Escape hatch: on a slow client<->worker link, SHIPPING a cached
+        # multi-MB executable to the device can cost more than letting the
+        # worker recompile from the ~250 KB HLO (measured on the axon
+        # tunnel — PERF.md "Cold-setup anatomy"). This disables the client
+        # cache without touching call sites.
+        return None
     cache_dir = cache_dir or os.environ.get("MRIJAX_COMPILE_CACHE")
     if not cache_dir:
         return None

@@ -39,6 +39,21 @@ def test_enable_compile_cache_env_var(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", old_dir)
 
 
+def test_disable_env_var_wins(tmp_path, monkeypatch):
+    """MRIJAX_DISABLE_COMPILE_CACHE=1 turns the cache off even when a dir
+    is given explicitly AND via env — the escape hatch for slow
+    client<->worker links where shipping a cached executable costs more
+    than a worker-side recompile (PERF.md 'Cold-setup anatomy')."""
+    monkeypatch.setenv("MRIJAX_COMPILE_CACHE", str(tmp_path / "envcc"))
+    monkeypatch.setenv("MRIJAX_DISABLE_COMPILE_CACHE", "1")
+    old_dir = jax.config.jax_compilation_cache_dir
+    try:
+        assert enable_compile_cache(str(tmp_path / "cc")) is None
+        assert jax.config.jax_compilation_cache_dir == old_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+
+
 def test_stabilize_cache_key_patches_jax():
     """After stabilization the key hashes only the platform NAME — two
     fake backends differing only in build string produce the same hash."""
