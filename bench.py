@@ -26,6 +26,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Session-proof persistent compile cache (key stabilization survives axon
 # worker rotation — see mrijax/compile_cache.py). But on a REMOTE-worker
@@ -135,14 +136,20 @@ def _init_on_cpu(model, *example_args):
 
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
 
+    # One flat normal + static slices: a per-leaf fold_in/normal emits ~700
+    # independent threefry streams and the worker spends tens of seconds
+    # compiling them (uncached on the tunnel — see the cache policy above);
+    # this version is one RNG kernel + free reshapes.
+    sizes = [int(np.prod(sd.shape)) if sd.shape else 1 for sd in leaves]
+    total = sum(sizes)
+
     @jax.jit
     def materialize(key):
-        out = []
-        for i, sd in enumerate(leaves):
-            k = jax.random.fold_in(key, i)
-            out.append(
-                (0.02 * jax.random.normal(k, sd.shape, jnp.float32)).astype(sd.dtype)
-            )
+        flat = 0.02 * jax.random.normal(key, (total,), jnp.float32)
+        out, off = [], 0
+        for sd, n in zip(leaves, sizes):
+            out.append(flat[off:off + n].reshape(sd.shape).astype(sd.dtype))
+            off += n
         return out
 
     vals = materialize(jax.random.PRNGKey(0))
