@@ -102,6 +102,15 @@ class TrainConfig:
                                                # params (e.g. 0.999); shadow
                                                # tree is checkpointed and
                                                # preferred for sampling/eval
+    fsdp: bool = False                         # fully-sharded (ZeRO) layout:
+                                               # params/Adam moments/EMA split
+                                               # across the data axis; ~1/N
+                                               # state memory per chip, same
+                                               # math (mrijax/parallel/fsdp.py)
+    fsdp_min_leaf_elems: int = 2 ** 15         # leaves smaller than this stay
+                                               # replicated (sharding a bias
+                                               # saves nothing, costs a
+                                               # collective)
 
 
 @dataclass

@@ -6,6 +6,11 @@ from mrijax.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from mrijax.parallel.fsdp import (
+    fsdp_shardings,
+    fsdp_step,
+    shard_train_state,
+)
 from mrijax.parallel.sampling import sharded_sample
 from mrijax.parallel.sequence import sequence_parallel_attention
 from mrijax.parallel.multihost import (
@@ -20,6 +25,9 @@ __all__ = [
     "data_sharding",
     "replicated_sharding",
     "shard_batch",
+    "fsdp_shardings",
+    "fsdp_step",
+    "shard_train_state",
     "sharded_sample",
     "sequence_parallel_attention",
     "initialize",

@@ -200,6 +200,36 @@ def _init_params(model, *args, seed=0, mesh=None):
     return jax.device_put(params, target)
 
 
+def _use_fsdp(train_cfg, mesh) -> bool:
+    """FSDP is a layout, so it only means anything on a >1-device data
+    axis; quietly fall back to replicated otherwise."""
+    return bool(
+        train_cfg.fsdp and mesh is not None and mesh.shape.get("data", 1) > 1
+    )
+
+
+def _place_state_and_step(state, mesh, use_fsdp: bool, train_step,
+                          min_leaf_elems: int = 2 ** 15):
+    """Place the train state on the mesh and return the (possibly wrapped)
+    train step.
+
+    Default: full replication — the SPMD equivalent of DDP. With
+    ``train.fsdp``: the ZeRO layout from ``mrijax.parallel.fsdp`` (~1/N
+    state memory per chip); the step is wrapped so the updated state keeps
+    the sharded layout (build the inner step with ``donate=False`` — the
+    wrapper donates at the outer jit instead). Orbax resume keeps working
+    either way: restore uses the live state as its template, shardings
+    included."""
+    if use_fsdp:
+        from mrijax.parallel import fsdp_step, shard_train_state
+
+        state, shardings = shard_train_state(
+            mesh, state, min_leaf_elems=min_leaf_elems
+        )
+        return state, fsdp_step(train_step, shardings)
+    return jax.device_put(state, replicated_sharding(mesh)), train_step
+
+
 # ------------------------------------------------------------- 2D / 2.5D
 
 
@@ -230,15 +260,17 @@ def train_slice_cond_2d(cfg: ExperimentConfig, mesh=None, logger=None) -> Traine
         jnp.zeros((1,)),
         seed=cfg.train.seed, mesh=mesh,
     )
-    state = jax.device_put(
+    use_fsdp = _use_fsdp(cfg.train, mesh)
+    state, train_step = _place_state_and_step(
         create_train_state(params, cfg.train.learning_rate,
                            ema=cfg.train.ema_decay is not None),
-        replicated_sharding(mesh),
-    )
-
-    train_step = make_diffusion_train_step(
-        model, diffusion, t_min=cfg.diffusion.t_min,
-        nan_guard=cfg.train.nan_guard, ema_decay=cfg.train.ema_decay,
+        mesh, use_fsdp,
+        make_diffusion_train_step(
+            model, diffusion, t_min=cfg.diffusion.t_min,
+            nan_guard=cfg.train.nan_guard, ema_decay=cfg.train.ema_decay,
+            donate=not use_fsdp,
+        ),
+        min_leaf_elems=cfg.train.fsdp_min_leaf_elems,
     )
     eval_step = make_diffusion_eval_step(model, diffusion, t_min=cfg.diffusion.t_min)
     trainer = _trainer(
@@ -279,15 +311,17 @@ def train_ddpm_25d(cfg: ExperimentConfig, mesh=None, logger=None) -> TrainerResu
         jnp.zeros((1, s, s, ctx_ch), jnp.float32),
         seed=cfg.train.seed, mesh=mesh,
     )
-    state = jax.device_put(
+    use_fsdp = _use_fsdp(cfg.train, mesh)
+    state, train_step = _place_state_and_step(
         create_train_state(params, cfg.train.learning_rate,
                            ema=cfg.train.ema_decay is not None),
-        replicated_sharding(mesh),
-    )
-
-    train_step = make_diffusion_train_step(
-        model, diffusion, t_min=cfg.diffusion.t_min,
-        nan_guard=cfg.train.nan_guard, ema_decay=cfg.train.ema_decay,
+        mesh, use_fsdp,
+        make_diffusion_train_step(
+            model, diffusion, t_min=cfg.diffusion.t_min,
+            nan_guard=cfg.train.nan_guard, ema_decay=cfg.train.ema_decay,
+            donate=not use_fsdp,
+        ),
+        min_leaf_elems=cfg.train.fsdp_min_leaf_elems,
     )
     eval_step = make_diffusion_eval_step(model, diffusion, t_min=cfg.diffusion.t_min)
     trainer = _trainer(
@@ -340,15 +374,19 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
         vae, jnp.zeros((1, 16, 16, 16, cfg.vae.in_channels), jnp.float32),
         jax.random.PRNGKey(1), seed=cfg.vae_train.seed, mesh=mesh,
     )
-    vae_state = jax.device_put(
+    vae_fsdp = _use_fsdp(cfg.vae_train, mesh)
+    vae_state, vae_step = _place_state_and_step(
         create_train_state(vae_params, cfg.vae_train.learning_rate),
-        replicated_sharding(mesh),
+        mesh, vae_fsdp,
+        make_vae_train_step(vae, kl_weight=cfg.vae.kl_weight,
+                            nan_guard=cfg.vae_train.nan_guard,
+                            donate=not vae_fsdp),
+        min_leaf_elems=cfg.vae_train.fsdp_min_leaf_elems,
     )
 
     vae_trainer = _trainer(
         cfg.vae_train, ckpt_dir=f"{cfg.family}/{cfg.name}/vae", logger=logger,
-        train_step=make_vae_train_step(vae, kl_weight=cfg.vae.kl_weight,
-                                       nan_guard=cfg.vae_train.nan_guard),
+        train_step=vae_step,
         eval_step=make_vae_eval_step(vae, kl_weight=cfg.vae.kl_weight),
         train_loader=train_loader, val_loader=val_loader, prefix="vae_",
     )
@@ -458,19 +496,37 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
         jnp.zeros((1,), jnp.int32),
         seed=cfg.train.seed, mesh=mesh,
     )
-    ldm_state = jax.device_put(
-        create_train_state(unet_params, cfg.train.learning_rate,
-                           ema=cfg.train.ema_decay is not None),
-        replicated_sharding(mesh),
-    )
+    ldm_fsdp = _use_fsdp(cfg.train, mesh)
+    ldm_state = create_train_state(unet_params, cfg.train.learning_rate,
+                                   ema=cfg.train.ema_decay is not None)
+    if ldm_fsdp:
+        from mrijax.parallel import shard_train_state
+
+        ldm_state, ldm_shardings = shard_train_state(
+            mesh, ldm_state, min_leaf_elems=cfg.train.fsdp_min_leaf_elems
+        )
+    else:
+        ldm_state = jax.device_put(ldm_state, replicated_sharding(mesh))
+
+    def _fsdp_wrap(step):
+        """Pin the output layout on the RAW step (whose first arg is the
+        state and whose other operands — incl. the frozen vae_params — are
+        real arguments). Wrapping the convenience closures below instead
+        would close vae_params into the jit as a baked-in HLO constant
+        (~hundreds of MB at flagship scale — the exact remote-compile
+        failure mode documented in PERF.md)."""
+        from mrijax.parallel import fsdp_step
+
+        return fsdp_step(step, ldm_shardings) if ldm_fsdp else step
 
     t_grid = fixed_validation_timesteps(cfg.diffusion.timesteps, 8)
 
     if use_cache:
-        ldm_step = make_cached_latent_train_step(
+        ldm_step = _fsdp_wrap(make_cached_latent_train_step(
             unet, diffusion, t_min=cfg.diffusion.t_min,
             nan_guard=cfg.train.nan_guard, ema_decay=cfg.train.ema_decay,
-        )
+            donate=not ldm_fsdp,
+        ))
         ldm_eval = make_cached_latent_eval_step(unet, diffusion)
 
         def train_step(state, batch, key):
@@ -481,10 +537,11 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
             return ldm_eval(params, batch, key, latent_scale, t_fixed)
 
     else:
-        ldm_step = make_latent_diffusion_train_step(
+        ldm_step = _fsdp_wrap(make_latent_diffusion_train_step(
             unet, vae, diffusion, t_min=cfg.diffusion.t_min,
             nan_guard=cfg.train.nan_guard, ema_decay=cfg.train.ema_decay,
-        )
+            donate=not ldm_fsdp,
+        ))
         ldm_eval = make_latent_diffusion_eval_step(unet, vae, diffusion)
 
         def train_step(state, batch, key):
