@@ -816,6 +816,61 @@ def cmd_export(args):
     return 0
 
 
+def cmd_export_aot(args):
+    """Serialize the run's lowered sampling program via ``jax.export`` so
+    serving processes skip the per-process trace entirely (minutes at
+    flagship scale — see mrijax/aot.py; params stay external arguments
+    and come from checkpoints or ``export`` npz)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrijax import aot
+    from mrijax.train.state import create_train_state
+
+    cfg, run_dir = _load_run(args.run_dir)
+    out = Path(args.out)
+    if cfg.family == "ddpm_3d_ldm":
+        from mrijax.train.experiments import build_unet3d
+
+        # latent_scale travels in the ldm checkpoint's extra and is baked
+        # into the program (a scalar constant, unlike the weight trees)
+        unet_init = build_unet3d(cfg.unet, use_flash=False)
+        with jax.default_device(jax.devices("cpu")[0]):
+            template = create_train_state(
+                unet_init.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 8, 8, 8, cfg.vae.latent_channels)),
+                    jnp.zeros((1,), jnp.int32),
+                ),
+                cfg.train.learning_rate,
+                ema=cfg.train.ema_decay is not None,
+            )
+        _, extra = _restore_params(run_dir / "ldm", template)
+        fn, ex = aot.build_volume_sampler(
+            cfg, float(extra.get("latent_scale", 1.0)),
+            num_volumes=args.num_samples, ddim_steps=args.ddim_steps,
+        )
+        sig = "(unet_params, vae_params, key)"
+    elif cfg.family == "slice_cond_2d":
+        fn, ex = aot.build_slice_sampler(
+            cfg, num_samples=args.num_samples, ddim_steps=args.ddim_steps
+        )
+        sig = "(params, key, z_pos)"
+    else:
+        raise SystemExit(
+            f"export-aot supports slice_cond_2d and ddpm_3d_ldm; "
+            f"{cfg.family!r} sampling consumes context data, not just "
+            "params — serve it via mrijax.generate"
+        )
+    aot.save_exported(out, fn, ex)
+    print(
+        f"[cli] AOT sampling program -> {out} "
+        f"(platform {jax.default_backend()}, call signature {sig}); "
+        "serving: mrijax.aot.load_exported(path)"
+    )
+    return 0
+
+
 def cmd_preprocess(args):
     from mrijax.data import pack_dataset, pack_multimodal_slices, pack_volumes
 
@@ -940,6 +995,19 @@ def build_parser():
     ex = sub.add_parser("export", help="export best weights to portable npz")
     ex.add_argument("--run-dir", required=True)
     ex.add_argument("--out", required=True)
+
+    ea = sub.add_parser(
+        "export-aot",
+        help="serialize the lowered sampling program (jax.export) so "
+             "serving processes skip the per-process trace",
+    )
+    ea.add_argument("--run-dir", required=True)
+    ea.add_argument("--out", required=True, help="output .jaxexport path")
+    ea.add_argument("--num-samples", type=int, default=8,
+                    help="batch size baked into the program's shapes")
+    ea.add_argument("--ddim-steps", type=int, default=None,
+                    help="DDIM steps (default: full ancestral T)")
+    ea.set_defaults(fn=cmd_export_aot)
     ex.set_defaults(fn=cmd_export)
 
     es = sub.add_parser(
