@@ -40,6 +40,7 @@ import jax.numpy as jnp
 __all__ = [
     "export_callable",
     "save_exported",
+    "deserialize_exported",
     "load_exported",
     "build_volume_sampler",
     "build_slice_sampler",
@@ -72,12 +73,15 @@ def save_exported(path, fn, example_args, *, platforms=None) -> Path:
     return path
 
 
-def load_exported(path):
-    """Deserialize an exported program and return its callable.
+def deserialize_exported(path) -> "jax.export.Exported":
+    """Deserialize an exported program (platform-checked).
 
     Raises ``ValueError`` immediately when the blob was lowered for a
     different platform than the current backend — jax's own check only
-    fires at call time, three frames from the cause."""
+    fires at call time, three frames from the cause. Returns the full
+    ``Exported`` object so callers can introspect ``in_avals``/
+    ``out_avals`` (e.g. ``cli serve`` derives the baked batch size and the
+    conditioning vector's shape from them)."""
     exp = jax.export.deserialize(Path(path).read_bytes())
     backend = jax.default_backend()
     if backend not in exp.platforms:
@@ -86,7 +90,12 @@ def load_exported(path):
             f"the current backend is {backend!r} — re-export on this "
             "platform (mrijax export-aot)"
         )
-    return exp.call
+    return exp
+
+
+def load_exported(path):
+    """Deserialize an exported program and return its callable."""
+    return deserialize_exported(path).call
 
 
 # -------------------------------------------------- run-dir sampler builders

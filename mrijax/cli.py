@@ -871,6 +871,82 @@ def cmd_export_aot(args):
     return 0
 
 
+def cmd_serve(args):
+    """Generation loop from an AOT program + exported weights — the serving
+    deployment path (mrijax/aot.py). Needs neither the run dir nor a
+    trace/lower wait: ``export-aot`` built the program, ``export`` the npz
+    weights; this just binds them and writes batches of outputs."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from mrijax import aot
+    from mrijax.io import load_params_npz, save_grid_png, save_png
+    from mrijax.io.images import volume_midslice_panel
+
+    exp = aot.deserialize_exported(args.program)
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    weights, meta = load_params_npz(args.weights)
+    family = meta.get("family")
+    n_baked = exp.out_avals[0].shape[0]  # batch size baked into the program
+
+    if family == "ddpm_3d_ldm":
+        vae_path = args.vae_weights or Path(args.weights).with_suffix(".vae.npz")
+        if not Path(vae_path).exists():
+            raise SystemExit(
+                f"VAE weights not found at {vae_path} — `mrijax export` "
+                "writes them next to the LDM npz; pass --vae-weights"
+            )
+        vae_weights, _ = load_params_npz(vae_path)
+        call_args = lambda key: (weights, vae_weights, key)  # noqa: E731
+    elif family == "slice_cond_2d":
+        if args.z == "sweep":
+            z = np.linspace(0.0, 1.0, n_baked, dtype=np.float32)
+        else:
+            z = np.full((n_baked,), float(args.z), np.float32)
+        call_args = lambda key: (weights, key, z)  # noqa: E731
+    else:
+        raise SystemExit(
+            f"weights npz is family {family!r}; serve supports "
+            "slice_cond_2d and ddpm_3d_ldm (what export-aot can build)"
+        )
+
+    base = jax.random.PRNGKey(args.seed)
+    t_first = t0 = time.perf_counter()
+    for b in range(args.batches):
+        key = jax.random.fold_in(base, b)
+        try:
+            out = np.asarray(exp.call(*call_args(key)), dtype=np.float32)
+        except (TypeError, ValueError) as e:
+            raise SystemExit(
+                f"program/weights mismatch: {e}\n  were {args.program} and "
+                f"{args.weights} exported from the same run/config?"
+            ) from None
+        if b == 0:
+            t0 = time.perf_counter()  # first batch pays the XLA compile
+        if family == "ddpm_3d_ldm":
+            from mrijax.data import nifti
+
+            for j, v in enumerate(out):
+                nifti.save(out_dir / f"b{b:03d}_v{j}.nii.gz", v)
+                save_png(out_dir / f"b{b:03d}_v{j}_midslices.png",
+                         volume_midslice_panel(v))
+        else:
+            save_grid_png(out_dir / f"b{b:03d}.png", out)
+            np.savez(out_dir / f"b{b:03d}.npz", samples=out, z_pos=z)
+    dt = time.perf_counter() - t_first
+    steady = (time.perf_counter() - t0) / max(args.batches - 1, 1)
+    print(
+        f"[cli] served {args.batches} batch(es) of {n_baked} -> {out_dir} "
+        f"({dt:.1f}s total"
+        + (f", {steady:.2f}s/batch steady-state" if args.batches > 1 else "")
+        + ")"
+    )
+    return 0
+
+
 def cmd_preprocess(args):
     from mrijax.data import pack_dataset, pack_multimodal_slices, pack_volumes
 
@@ -1009,6 +1085,24 @@ def build_parser():
                     help="DDIM steps (default: full ancestral T)")
     ea.set_defaults(fn=cmd_export_aot)
     ex.set_defaults(fn=cmd_export)
+
+    sv = sub.add_parser(
+        "serve",
+        help="generation loop from an export-aot program + export npz "
+             "weights (no run dir, no trace wait)",
+    )
+    sv.add_argument("--program", required=True, help=".jaxexport from export-aot")
+    sv.add_argument("--weights", required=True, help="npz from export")
+    sv.add_argument("--vae-weights", default=None,
+                    help="3D family VAE npz (default: <weights>.vae.npz)")
+    sv.add_argument("--out", required=True)
+    sv.add_argument("--batches", type=int, default=1,
+                    help="number of batches to generate")
+    sv.add_argument("--seed", type=int, default=0)
+    sv.add_argument("--z", default="0.5",
+                    help="2D family slice position: a float, or 'sweep' for "
+                         "linspace(0,1) across the batch")
+    sv.set_defaults(fn=cmd_serve)
 
     es = sub.add_parser(
         "eval-seg",
