@@ -143,7 +143,9 @@ static int parse_header(const std::vector<uint8_t>& buf, NiftiInfo* info) {
   if (dim0 < 1 || dim0 > 7) return MRIJAX_EHDR;
   info->ndim = dim0;
   for (int i = 0; i < 7; ++i) {
-    info->shape[i] = (i < dim0) ? rd16(42 + 2 * i) : 1;
+    int64_t d = (i < dim0) ? rd16(42 + 2 * i) : 1;
+    if (d < 1) return MRIJAX_EHDR;  // corrupt/negative extent
+    info->shape[i] = d;
   }
   info->datatype = rd16(70);
   info->bitpix = rd16(72);
@@ -197,12 +199,33 @@ static int decode_into(const char* path, float* out, int64_t out_elems,
   rc = parse_header(payload, &info);
   if (rc != MRIJAX_OK) return rc;
   int64_t n = 1;
-  for (int i = 0; i < info.ndim; ++i) n *= info.shape[i];
+  for (int i = 0; i < info.ndim; ++i) {
+    if (info.shape[i] > 0 && n > (INT64_MAX / 2) / info.shape[i]) {
+      return MRIJAX_EHDR;  // element-count overflow from corrupt extents
+    }
+    n *= info.shape[i];
+  }
   if (info_out) *info_out = info;
   if (out == nullptr) return MRIJAX_OK;  // probe only
-  if (n != out_elems) return MRIJAX_ESIZE;
-  int64_t need = info.vox_offset + n * (info.bitpix / 8);
-  if (static_cast<int64_t>(payload.size()) < need) return MRIJAX_ESIZE;
+  if (n <= 0 || n != out_elems) return MRIJAX_ESIZE;
+  // Bound the voxel region with the DATATYPE's width, not the header's
+  // bitpix field — the cast below reads sizeof(T) per element, and a
+  // corrupt header with bitpix < width would otherwise pass the size check
+  // and overread the payload buffer.
+  int64_t elem_size;
+  switch (info.datatype) {
+    case 2: case 256:             elem_size = 1; break;
+    case 4: case 512:             elem_size = 2; break;
+    case 8: case 16: case 768:    elem_size = 4; break;
+    case 64: case 1024: case 1280: elem_size = 8; break;
+    default:                      return MRIJAX_EDTYPE;
+  }
+  if (info.vox_offset < 0 ||
+      static_cast<uint64_t>(info.vox_offset) > payload.size()) {
+    return MRIJAX_ESIZE;  // corrupt vox_offset would index out of bounds
+  }
+  int64_t avail = static_cast<int64_t>(payload.size()) - info.vox_offset;
+  if (avail / elem_size < n) return MRIJAX_ESIZE;
 
   const uint8_t* src = payload.data() + info.vox_offset;
   bool swap = !info.little_endian;

@@ -233,6 +233,55 @@ def test_cnifti_native_parity(brats_root):
         cnifti.load(str(paths[0]) + ".missing")
 
 
+def test_cnifti_rejects_corrupt_headers(tmp_path, brats_root):
+    """Corrupt/adversarial NIfTI headers must come back as clean IOErrors
+    from the native decoder — never an overread or a wild pointer (the
+    payload-size check must bound the region by the DATATYPE's width and
+    validate vox_offset; a ctypes crash would take down the whole serving
+    process)."""
+    import struct
+
+    from mrijax.data import cnifti
+
+    if not cnifti.available():
+        pytest.skip("libmrijax_io.so not built")
+
+    src = sorted(brats_root.rglob("*.nii.gz"))[0]
+    base = bytearray(__import__("gzip").decompress(src.read_bytes()))
+
+    def corrupt(name, mutate):
+        buf = bytearray(base)
+        mutate(buf)
+        p = tmp_path / f"{name}.nii"
+        p.write_bytes(bytes(buf))
+        with pytest.raises(IOError):
+            cnifti.load(p)
+
+    # bad magic
+    corrupt("magic", lambda b: struct.pack_into("<2s", b, 344, b"xx"))
+    # negative spatial extent
+    corrupt("negdim", lambda b: struct.pack_into("<h", b, 42, -5))
+    # element-count overflow: 7 dims of 32767
+    corrupt("overflow", lambda b: struct.pack_into(
+        "<8h", b, 40, 7, *([32767] * 7)))
+    # bitpix lies small while datatype stays float32 (4 bytes): the decode
+    # must bound the payload by the datatype width, not bitpix
+    corrupt("bitpix", lambda b: (
+        struct.pack_into("<h", b, 72, 8),
+        b.__setitem__(slice(352, len(b)), b[352:352 + (len(b) - 352) // 4]),
+    ))
+    # vox_offset far past the payload
+    corrupt("voxoff", lambda b: struct.pack_into("<f", b, 108, 1e12))
+    # unsupported datatype (128 = RGB24)
+    corrupt("dtype", lambda b: struct.pack_into("<h", b, 70, 128))
+    # truncated gzip stream
+    gz = __import__("gzip").compress(bytes(base))
+    p = tmp_path / "trunc.nii.gz"
+    p.write_bytes(gz[: len(gz) // 2])
+    with pytest.raises(IOError):
+        cnifti.load(p)
+
+
 def test_loader_propagates_producer_errors(brats_root):
     """Prefetch-thread exceptions must surface in the consumer."""
     ds = SliceDataset2D(brats_root, image_size=16)
