@@ -107,6 +107,7 @@ def build_volume_sampler(
     *,
     num_volumes: int = 8,
     ddim_steps: Optional[int] = None,
+    sampler: str = "ddim",
     use_flash: Optional[bool] = None,
 ):
     """3D-LDM family: ``(fn, param_templates)`` where
@@ -150,7 +151,9 @@ def build_volume_sampler(
             return unet.apply(unet_params, x, t)
 
         if ddim_steps is not None:
-            z = diffusion.ddim_sample(model_fn, shape, key, num_steps=ddim_steps)
+            z = diffusion.fast_sample(
+                model_fn, shape, key, num_steps=ddim_steps, sampler=sampler
+            )
         else:
             z = diffusion.p_sample_loop(model_fn, shape, key)
         return vae.apply(
@@ -165,6 +168,7 @@ def build_slice_sampler(
     *,
     num_samples: int = 16,
     ddim_steps: Optional[int] = None,
+    sampler: str = "ddim",
 ):
     """2D/2.5D family: ``(fn, param_templates)`` where
     ``fn(params, key, z_pos) -> (N, H, W, C)`` slices conditioned on the
@@ -197,7 +201,9 @@ def build_slice_sampler(
             return model.apply(params, x, t, z_pos)
 
         if ddim_steps is not None:
-            return diffusion.ddim_sample(model_fn, shape, key, num_steps=ddim_steps)
+            return diffusion.fast_sample(
+                model_fn, shape, key, num_steps=ddim_steps, sampler=sampler
+            )
         return diffusion.p_sample_loop(model_fn, shape, key)
 
     return fn, (

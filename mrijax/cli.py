@@ -170,7 +170,7 @@ def cmd_sample(args):
             imgs = generate.sample_2d(
                 model, params, diffusion, num_samples=args.num_samples,
                 image_size=s, z_pos=args.z_pos, key=key,
-                ddim_steps=args.ddim_steps, channels=cfg.unet.out_channels,
+                ddim_steps=args.ddim_steps, sampler=args.sampler, channels=cfg.unet.out_channels,
                 mesh=mesh,
             )
             save_grid_png(out_dir / "grid.png", np.asarray(imgs)[..., :1])
@@ -178,7 +178,7 @@ def cmd_sample(args):
         elif args.mode == "sweep":
             vol = generate.sample_pseudo3d_sweep(
                 model, params, diffusion, num_slices=args.num_slices,
-                image_size=s, key=key, ddim_steps=args.ddim_steps,
+                image_size=s, key=key, ddim_steps=args.ddim_steps, sampler=args.sampler,
                 channels=cfg.unet.out_channels, mesh=mesh,
             )
             save_grid_png(out_dir / "sweep.png", np.asarray(vol)[..., :1], nrow=16)
@@ -200,12 +200,12 @@ def cmd_sample(args):
                     )
                 vol = generate.generate_pseudo3d_real_context(
                     model, params, diffusion, ds, args.subject, key=key,
-                    ddim_steps=args.ddim_steps, mesh=mesh,
+                    ddim_steps=args.ddim_steps, sampler=args.sampler, mesh=mesh,
                 )
             else:  # hybrid is inherently sequential over slices
                 vol = generate.generate_pseudo3d_hybrid(
                     model, params, diffusion, ds, args.subject, key=key,
-                    ddim_steps=args.ddim_steps,
+                    ddim_steps=args.ddim_steps, sampler=args.sampler,
                 )
             vol = np.asarray(vol)
             for c in range(vol.shape[-1]):
@@ -275,7 +275,7 @@ def cmd_sample(args):
             unet, inference_params(ldm_state), vae, vae_state.params, diffusion,
             num_volumes=args.num_samples,
             latent_spatial=latent_shape[:-1], latent_channels=latent_shape[-1],
-            latent_scale=latent_scale, key=key, ddim_steps=args.ddim_steps,
+            latent_scale=latent_scale, key=key, ddim_steps=args.ddim_steps, sampler=args.sampler,
             mesh=mesh,
         )
         vols = np.asarray(vols)
@@ -391,7 +391,10 @@ def cmd_eval(args):
 
         shape = (z.shape[0], s, s, cfg.unet.out_channels)
         if args.ddim_steps:
-            return diffusion.ddim_sample(model_fn, shape, k, num_steps=args.ddim_steps)
+            return diffusion.fast_sample(
+                model_fn, shape, k, num_steps=args.ddim_steps,
+                sampler=getattr(args, "sampler", "ddim"),
+            )
         return diffusion.p_sample_loop(model_fn, shape, k)
 
     def sample_fn(batch, k):
@@ -848,7 +851,7 @@ def cmd_export_aot(args):
         _, extra = _restore_params(run_dir / "ldm", template)
         fn, ex = aot.build_volume_sampler(
             cfg, float(extra.get("latent_scale", 1.0)),
-            num_volumes=args.num_samples, ddim_steps=args.ddim_steps,
+            num_volumes=args.num_samples, ddim_steps=args.ddim_steps, sampler=args.sampler,
         )
         sig = "(unet_params, vae_params, key)"
     elif cfg.family == "slice_cond_2d":
@@ -1027,6 +1030,10 @@ def build_parser():
     s.add_argument("--z-pos", type=float, default=0.5)
     s.add_argument("--subject", type=int, default=0)
     s.add_argument("--ddim-steps", type=int, default=None)
+    s.add_argument("--sampler", default="ddim", choices=["ddim", "dpm"],
+                   help="fast-path solver when --ddim-steps is set: "
+                        "first-order DDIM or second-order DPM-Solver++(2M) "
+                        "(~2.5x fewer steps at equal ODE accuracy)")
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--out-dir", default=None)
     s.add_argument("--data-parallel", action="store_true",
@@ -1039,6 +1046,7 @@ def build_parser():
     e.add_argument("--num-samples", type=int, default=1000)
     e.add_argument("--batch-size", type=int, default=32)
     e.add_argument("--ddim-steps", type=int, default=None)
+    e.add_argument("--sampler", default="ddim", choices=["ddim", "dpm"])
     e.add_argument("--diversity-pairs", type=int, default=64)
     e.add_argument("--pr", action="store_true")
     e.add_argument("--unconditional", action="store_true")
@@ -1082,7 +1090,10 @@ def build_parser():
     ea.add_argument("--num-samples", type=int, default=8,
                     help="batch size baked into the program's shapes")
     ea.add_argument("--ddim-steps", type=int, default=None,
-                    help="DDIM steps (default: full ancestral T)")
+                    help="fast-path steps (default: full ancestral T)")
+    ea.add_argument("--sampler", default="ddim", choices=["ddim", "dpm"],
+                    help="solver when --ddim-steps is set (dpm = "
+                         "DPM-Solver++(2M), ~2.5x fewer steps)")
     ea.set_defaults(fn=cmd_export_aot)
     ex.set_defaults(fn=cmd_export)
 

@@ -232,3 +232,118 @@ class GaussianDiffusion:
 
         x, _ = jax.lax.scan(step, x_t, (seq, seq_prev))
         return x
+
+    def dpm_sample(
+        self,
+        model_fn: ModelFn,
+        shape,
+        key: Optional[jax.Array] = None,
+        *,
+        num_steps: Optional[int] = None,
+        start_t: Optional[int] = None,
+        x_t: Optional[jnp.ndarray] = None,
+        to_x0: bool = False,
+        order: int = 2,
+    ) -> jnp.ndarray:
+        """DPM-Solver++(2M): deterministic second-order multistep sampler
+        (Lu et al. 2022, data-prediction form) as one ``lax.scan``.
+
+        ↗ No reference analog (its fastest path is stride-1 DDIM,
+        `ddpm_3d_ldm/diffusion.py:188-196`): a second-order exponential
+        integrator tracks the probability-flow ODE far more accurately per
+        model evaluation than DDIM, so production sampling reaches DDIM-50
+        quality in ~20 steps — a direct serving-throughput multiplier on
+        top of the strided-DDIM superset. Same timestep grid, terminal
+        convention, and signature as ``ddim_sample`` (``order=1`` IS DDIM —
+        algebraically identical update, pinned by test), so the two are
+        drop-in interchangeable everywhere ``ddim_steps`` is exposed.
+
+        The update from time s to t (α=√ᾱ, σ=√(1−ᾱ), λ=log(α/σ),
+        h=λ_t−λ_s, r=h_prev/h):
+            x0_s  = (x_s − σ_s ε_θ(x_s, s)) / α_s
+            D     = x0_s                                   (first step / order 1)
+                  = (1 + 1/2r) x0_s − (1/2r) x0_prev       (order 2)
+            x_t   = (σ_t/σ_s) x_s − α_t (e^{−h} − 1) D
+        """
+        if order not in (1, 2):
+            raise ValueError(f"order must be 1 or 2, got {order}")
+        if x_t is None:
+            if key is None:
+                raise ValueError("need key when x_t is not given")
+            x_t = jax.random.normal(key, shape, jnp.float32)
+        b = shape[0]
+        seq = self.ddim_timestep_sequence(num_steps, start_t)
+        if len(seq) == 0:
+            return x_t
+        last = jnp.full((1,), -1 if to_x0 else 0, jnp.int32)
+        seq_prev = jnp.concatenate([seq[1:], last])
+
+        s = self.schedule
+        nd = x_t.ndim
+
+        def lam_of(a):
+            # σ clamped so the terminal ᾱ_prev=1 step stays finite: λ→~46,
+            # e^{−h}→0, σ_t/σ_s→0 and the update converges to x_t = D (the
+            # exact "denoise to x0" limit)
+            sigma = jnp.maximum(jnp.sqrt(1.0 - a), 1e-20)
+            return 0.5 * jnp.log(a) - jnp.log(sigma), sigma
+
+        def step(carry, tt):
+            x, x0_prev, lam_prev, is_first = carry
+            t_i, t_prev_i = tt
+            t = jnp.full((b,), t_i, dtype=jnp.int32)
+            a_s = _extract(s.alphas_cumprod, t, nd)
+            a_t = jnp.where(
+                (jnp.full((b,), t_prev_i) >= 0).reshape(-1, *([1] * (nd - 1))),
+                _extract(s.alphas_cumprod,
+                         jnp.full((b,), jnp.maximum(t_prev_i, 0)), nd),
+                jnp.ones((), jnp.float32),
+            )
+            lam_s, sigma_s = lam_of(a_s)
+            lam_t, sigma_t = lam_of(a_t)
+            alpha_s = jnp.sqrt(a_s)
+            alpha_t = jnp.sqrt(a_t)
+
+            eps = model_fn(x, t).astype(jnp.float32)
+            xf = x.astype(jnp.float32)
+            x0 = (xf - sigma_s * eps) / jnp.maximum(alpha_s, 1e-8)
+
+            h = lam_t - lam_s
+            if order == 2:
+                r = (lam_s - lam_prev) / h  # h_prev/h in λ-time
+                c = 1.0 / (2.0 * jnp.maximum(r, 1e-8))
+                d2 = (1.0 + c) * x0 - c * x0_prev
+                d = jnp.where(is_first > 0, x0, d2)
+            else:
+                d = x0
+            x_next = (sigma_t / sigma_s) * xf - alpha_t * jnp.expm1(-h) * d
+            x_next = x_next.astype(x.dtype)
+            return (x_next, x0, lam_s, jnp.zeros((), jnp.float32)), None
+
+        init = (
+            x_t,
+            jnp.zeros_like(x_t, jnp.float32),
+            jnp.zeros((b, *([1] * (nd - 1))), jnp.float32),
+            jnp.ones((), jnp.float32),
+        )
+        (x, _, _, _), _ = jax.lax.scan(step, init, (seq, seq_prev))
+        return x
+
+    def fast_sample(
+        self,
+        model_fn: ModelFn,
+        shape,
+        key: Optional[jax.Array] = None,
+        *,
+        num_steps: Optional[int] = None,
+        sampler: str = "ddim",
+        **kw,
+    ) -> jnp.ndarray:
+        """Dispatch to a deterministic fast sampler by name:
+        ``"ddim"`` (first-order, reference superset) or ``"dpm"`` /
+        ``"dpm2m"`` (second-order DPM-Solver++(2M))."""
+        if sampler == "ddim":
+            return self.ddim_sample(model_fn, shape, key, num_steps=num_steps, **kw)
+        if sampler in ("dpm", "dpm2m"):
+            return self.dpm_sample(model_fn, shape, key, num_steps=num_steps, **kw)
+        raise ValueError(f"unknown sampler {sampler!r} (ddim | dpm)")

@@ -44,6 +44,7 @@ def sample_2d(
     z_pos: float = 0.5,
     key=None,
     ddim_steps: Optional[int] = None,
+    sampler: str = "ddim",
     channels: int = 1,
     mesh=None,
 ):
@@ -60,7 +61,9 @@ def sample_2d(
 
         shape = (local, image_size, image_size, channels)
         if ddim_steps is not None:
-            return diffusion.ddim_sample(model_fn, shape, k, num_steps=ddim_steps)
+            return diffusion.fast_sample(
+                model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
+            )
         return diffusion.p_sample_loop(model_fn, shape, k)
 
     if mesh is not None:
@@ -79,6 +82,7 @@ def sample_pseudo3d_sweep(
     image_size: int = 128,
     key=None,
     ddim_steps: Optional[int] = None,
+    sampler: str = "ddim",
     channels: int = 1,
     mesh=None,
 ):
@@ -94,7 +98,9 @@ def sample_pseudo3d_sweep(
 
         shape = (z_local.shape[0], image_size, image_size, channels)
         if ddim_steps is not None:
-            return diffusion.ddim_sample(model_fn, shape, k, num_steps=ddim_steps)
+            return diffusion.fast_sample(
+                model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
+            )
         return diffusion.p_sample_loop(model_fn, shape, k)
 
     if mesh is not None:
@@ -122,6 +128,7 @@ def conditional_sample_25d(
     *,
     key=None,
     ddim_steps: Optional[int] = None,
+    sampler: str = "ddim",
     out_channels: int = 4,
     mesh=None,
 ):
@@ -139,7 +146,9 @@ def conditional_sample_25d(
 
         shape = (ctx_l.shape[0], h, w, out_channels)
         if ddim_steps is not None:
-            return diffusion.ddim_sample(model_fn, shape, k, num_steps=ddim_steps)
+            return diffusion.fast_sample(
+                model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
+            )
         return diffusion.p_sample_loop(model_fn, shape, k)
 
     if mesh is not None:
@@ -160,6 +169,7 @@ def generate_pseudo3d_real_context(
     *,
     key=None,
     ddim_steps: Optional[int] = None,
+    sampler: str = "ddim",
     batch_size: Optional[int] = None,
     mesh=None,
 ):
@@ -191,6 +201,7 @@ def generate_pseudo3d_real_context(
                 model, params, diffusion,
                 z_pos[s0 : s0 + bs], context[s0 : s0 + bs],
                 key=jax.random.fold_in(key, s0), ddim_steps=ddim_steps,
+                sampler=sampler,
                 mesh=use_mesh,
             )
         )
@@ -206,6 +217,7 @@ def generate_pseudo3d_hybrid(
     *,
     key=None,
     ddim_steps: Optional[int] = None,
+    sampler: str = "ddim",
     progress: Optional[Callable[[int, int], None]] = None,
 ):
     """Ascending-z autoregressive generation: context uses already-generated
@@ -239,6 +251,7 @@ def generate_pseudo3d_hybrid(
         out = conditional_sample_25d(
             model, params, diffusion, z, context,
             key=jax.random.fold_in(key, k), ddim_steps=ddim_steps,
+            sampler=sampler,
         )
         gen[k] = np.asarray(out[0])
         if progress is not None:
@@ -262,6 +275,7 @@ def generate_3d_volumes(
     latent_scale: float = 1.0,
     key=None,
     ddim_steps: Optional[int] = None,
+    sampler: str = "ddim",
     mesh=None,
 ):
     """Latent sample → unscale → VAE decode (`show_model.py:249-259`).
@@ -278,7 +292,9 @@ def generate_3d_volumes(
             return unet.apply(up, x, t)
 
         if ddim_steps is not None:
-            z = diffusion.ddim_sample(model_fn, shape, k, num_steps=ddim_steps)
+            z = diffusion.fast_sample(
+                model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
+            )
         else:
             z = diffusion.p_sample_loop(model_fn, shape, k)
         z = z / latent_scale

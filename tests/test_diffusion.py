@@ -119,3 +119,81 @@ def test_ddim_sequence_reference_semantics(diff):
     seq2 = np.asarray(diff.ddim_timestep_sequence(num_steps=5, start_t=40))
     assert seq2[0] == 40 and seq2[-1] == 1 and len(seq2) == 5
     assert np.all(np.diff(seq2) < 0)
+
+
+def _nonlinear_model_fn(diff):
+    """Smooth, deterministic, nonlinear ε-model for solver-order tests."""
+    T = diff.timesteps
+
+    def model_fn(x, t):
+        tt = (t.astype(jnp.float32) / T).reshape(-1, *([1] * (x.ndim - 1)))
+        return jnp.tanh(x) * (0.5 + tt)
+
+    return model_fn
+
+
+def test_dpm_order1_is_ddim(diff):
+    """DPM-Solver++ with order=1 is algebraically the DDIM update — the two
+    samplers must agree to fp32 reassociation noise on the same grid."""
+    model_fn = _nonlinear_model_fn(diff)
+    x_t = jax.random.normal(jax.random.key(7), (2, 8, 8, 1))
+    for kw in ({"num_steps": 10}, {"num_steps": 10, "to_x0": True}, {}):
+        ddim = np.asarray(diff.ddim_sample(model_fn, x_t.shape, x_t=x_t, **kw))
+        dpm1 = np.asarray(
+            diff.dpm_sample(model_fn, x_t.shape, x_t=x_t, order=1, **kw)
+        )
+        np.testing.assert_allclose(dpm1, ddim, rtol=1e-5, atol=1e-5)
+
+
+def test_dpm2m_converges_faster_than_ddim(diff):
+    """Second order must track the probability-flow ODE better per model
+    evaluation: at an equal small step budget, DPM-2M's distance to the
+    fine-grid solution is below DDIM's."""
+    model_fn = _nonlinear_model_fn(diff)
+    x_t = jax.random.normal(jax.random.key(11), (2, 8, 8, 1))
+    # ground truth = the SECOND-order solver on the full 49-step grid: its
+    # O(h^2) truncation error is ~40x below DDIM-49's O(h) error, and using
+    # DDIM-49 as reference would cancel part of strided DDIM's correlated
+    # first-order bias instead of measuring it
+    ref = np.asarray(diff.dpm_sample(model_fn, x_t.shape, x_t=x_t))
+    err = {}
+    for steps in (12, 24):
+        ddim = np.asarray(
+            diff.ddim_sample(model_fn, x_t.shape, x_t=x_t, num_steps=steps)
+        )
+        dpm = np.asarray(
+            diff.dpm_sample(model_fn, x_t.shape, x_t=x_t, num_steps=steps)
+        )
+        err[steps] = (
+            np.abs(ddim - ref).mean(), np.abs(dpm - ref).mean()
+        )
+        assert err[steps][1] < err[steps][0], (steps, err[steps])
+    # and the 2M error itself shrinks with more steps (measured second-order:
+    # ~4x per step doubling vs DDIM's ~2x — the 8->32-step ladder in the
+    # commit message's experiment)
+    assert err[24][1] < err[12][1], err
+
+
+def test_dpm_jittable_and_finite(diff):
+    model_fn = lambda x, t: 0.05 * x
+
+    @jax.jit
+    def run(key):
+        return diff.dpm_sample(model_fn, (2, 8, 8, 1), key, num_steps=6)
+
+    out = np.asarray(run(jax.random.key(0)))
+    assert out.shape == (2, 8, 8, 1)
+    assert np.isfinite(out).all()
+
+
+def test_fast_sample_dispatch(diff):
+    model_fn = lambda x, t: 0.05 * x
+    x_t = jax.random.normal(jax.random.key(5), (1, 8, 8, 1))
+    a = diff.fast_sample(model_fn, x_t.shape, x_t=x_t, num_steps=5, sampler="ddim")
+    b = diff.ddim_sample(model_fn, x_t.shape, x_t=x_t, num_steps=5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = diff.fast_sample(model_fn, x_t.shape, x_t=x_t, num_steps=5, sampler="dpm")
+    d = diff.dpm_sample(model_fn, x_t.shape, x_t=x_t, num_steps=5)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+    with pytest.raises(ValueError, match="unknown sampler"):
+        diff.fast_sample(model_fn, x_t.shape, x_t=x_t, sampler="euler")

@@ -50,6 +50,12 @@ def test_sample_2d_and_sweep():
     v = generate.sample_pseudo3d_sweep(model, params, diffusion, num_slices=5,
                                        image_size=16, ddim_steps=4)
     assert v.shape == (5, 16, 16, 1)
+    # second-order fast path threads through generate (same grid, same key
+    # => deterministic, different update than DDIM)
+    d = generate.sample_2d(model, params, diffusion, num_samples=3,
+                           image_size=16, ddim_steps=4, sampler="dpm")
+    assert d.shape == (3, 16, 16, 1) and bool(jnp.isfinite(d).all())
+    assert float(jnp.abs(d - g).max()) > 1e-7
 
 
 def test_pseudo3d_real_context_batched_matches_per_slice(brats_root, model25d):
