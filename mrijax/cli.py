@@ -982,6 +982,54 @@ def cmd_split(args):
     return 0
 
 
+def cmd_doctor(args):
+    """Environment diagnostics: backend, devices, native/kernel/cache
+    readiness. Read-only — run this first when anything behaves oddly on a
+    new machine or TPU session (the usual suspects are all listed)."""
+    import jax
+
+    print(f"jax {jax.__version__}  backend={jax.default_backend()}")
+    for d in jax.devices():
+        pv = getattr(getattr(d, "client", None), "platform_version", "?")
+        print(f"  device: {d}  platform_version={pv!r}")
+    print(f"  process {jax.process_index()}/{jax.process_count()}, "
+          f"{jax.local_device_count()} local / {jax.device_count()} global devices")
+
+    from mrijax.data import cnifti
+
+    print(f"native NIfTI decoder: "
+          f"{'built' if cnifti.available() else 'NOT built (make -C csrc; pure-numpy fallback active)'}")
+
+    from mrijax.kernels.dispatch import pallas_enabled
+
+    on_tpu = jax.default_backend() == "tpu"
+    print(f"pallas kernels: {'available (TPU backend)' if on_tpu else 'inactive (XLA fallbacks on ' + jax.default_backend() + ')'}"
+          f"{'' if pallas_enabled() else ' [currently disabled via disable_pallas()]'}")
+
+    import os as _os
+
+    cache = _os.environ.get("MRIJAX_COMPILE_CACHE")
+    disabled = _os.environ.get("MRIJAX_DISABLE_COMPILE_CACHE")
+    tunnel = any(
+        "axon" in str(getattr(getattr(d, "client", None), "platform_version", "")).lower()
+        for d in jax.devices()
+    )
+    if disabled:
+        print("compile cache: disabled (MRIJAX_DISABLE_COMPILE_CACHE)")
+    elif cache:
+        print(f"compile cache: {cache}")
+    else:
+        print("compile cache: not configured (set MRIJAX_COMPILE_CACHE or "
+              "--compile-cache; on a remote-tunnel backend the worker-side "
+              "compile is usually faster than shipping cached executables — "
+              "see PERF.md)")
+    if tunnel:
+        print("note: remote-tunnel (axon) backend detected — one process on "
+              "the TPU at a time; time work with a value readback, not "
+              "block_until_ready (PERF.md 'Cold-setup anatomy')")
+    return 0
+
+
 def cmd_info(args):
     from mrijax.io import CheckpointManager
 
@@ -1173,6 +1221,9 @@ def build_parser():
     sp.add_argument("--mode", default="symlink", choices=["symlink", "copy", "move"])
     sp.add_argument("--dry-run", action="store_true")
     sp.set_defaults(fn=cmd_split)
+
+    dr = sub.add_parser("doctor", help="environment diagnostics (read-only)")
+    dr.set_defaults(fn=cmd_doctor)
 
     i = sub.add_parser("info", help="show run config + checkpoints")
     i.add_argument("--run-dir", required=True)

@@ -281,3 +281,14 @@ def test_cli_eval_multi_happy_path(brats_root, tmp_path):
     assert (out_dir / "m2d.metrics.json").exists()
     assert "8/8 samples" in (out_dir / "m2d_progress.txt").read_text()
     assert not (out_dir / "m2d_RUNNING.txt").exists()
+
+
+def test_cli_doctor(capsys):
+    """doctor prints environment diagnostics and is read-only."""
+    from mrijax.cli import main
+
+    assert main(["doctor"]) == 0
+    out = capsys.readouterr().out
+    assert "backend=" in out
+    assert "native NIfTI decoder" in out
+    assert "compile cache" in out
