@@ -367,14 +367,20 @@ def bench_train_step():
     }))
 
 
-def bench_train_step_cached(batch: int = 32, remat: bool = True):
+def bench_train_step_cached(batch: int = 32, remat: bool = False,
+                            remat_levels=(0,)):
     """Tuned training path (``--train-cached``): the stage-2 LDM step on
     PRECOMPUTED frozen-VAE latents (``pack_latents``) at TPU-native batch
-    with gradient rematerialization. Measured ladder (PERF.md): batch 8
-    no-remat 17.8 vols/s; batch 16 no-remat falls off an HBM cliff
-    (5.0); remat restores it — batch 16 → 22.5, batch 32 → 25.5 (shipped),
-    batch 64 OOMs. With remat the reported ``step_tflops``/``mfu`` count
-    the recompute (hardware FLOPs, not model FLOPs)."""
+    with SELECTIVE rematerialization — only the full-resolution (level-0)
+    res blocks recompute in the backward pass. Level-0 activations are the
+    HBM hog (64× the per-tensor bytes of the bottleneck) while level-0
+    convs are only ~57% of the FLOPs, so ``remat_levels=(0,)`` keeps the
+    memory win of full remat for roughly half the recompute: measured
+    same-session ladder (PERF.md) — batch 32 full remat 3.79 s/step vs
+    remat_levels=(0,) 1.10 s/step (3.45×), batch 16 selective matches it
+    per-volume (28.9 vs 29.1 vols/s), batch 48 fails in the worker's
+    remote-compile helper. With any remat the reported ``step_tflops``/
+    ``mfu`` count the recompute (hardware FLOPs, not model FLOPs)."""
     import numpy as np
 
     from mrijax.diffusion import GaussianDiffusion, cosine_beta_schedule, make_schedule
@@ -386,6 +392,7 @@ def bench_train_step_cached(batch: int = 32, remat: bool = True):
     unet_kw = dict(
         in_channels=16, base_channels=128, channel_mults=(1, 2, 4),
         use_attention=True, num_heads=4, dtype=jnp.bfloat16, remat=remat,
+        remat_levels=remat_levels,
     )
     unet = UNet3D(use_flash_attention=on_tpu, **unet_kw)
     unet_init = UNet3D(use_flash_attention=False, **unet_kw)
@@ -424,18 +431,49 @@ def bench_train_step_cached(batch: int = 32, remat: bool = True):
         state, loss = step(state, batch_d, jax.random.fold_in(key, i), 1.0)
         _ = float(loss)
     dt = (time.perf_counter() - t0) / n
+    remat_tag = (
+        f", remat levels {remat_levels}" if remat_levels is not None
+        else (", remat" if remat else "")
+    )
     print(json.dumps({
         "metric": "3d_ldm_cached_train_throughput",
         "value": round(batch / dt, 3),
         "unit": (
             f"volumes/sec trained (batch {batch} cached latents "
-            f"32x40x40x16, min-SNR + Adam{', remat' if remat else ''})"
+            f"32x40x40x16, min-SNR + Adam{remat_tag})"
         ),
         "vs_baseline": None,
         "sec_per_step": round(dt, 4),
         "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
         "mfu": _mfu(step_flops, dt),
-    }))
+    }), flush=True)
+
+
+def bench_train_cached_sweep():
+    """Same-session A/B ladder of the cached-latent train step
+    (``--train-cached-sweep``): batch × remat strategy measured in ONE
+    process (immune to the ~2.5× tunnel-session variance). Risky (possibly
+    OOM) configs run last and are reported as failed lines instead of
+    killing the sweep."""
+    configs = [
+        (32, True, None),      # shipped: full remat
+        (32, False, (0,)),     # selective: recompute only level-0 blocks
+        (16, False, (0,)),
+        (48, False, (0,)),     # possible OOM
+        (48, True, None),      # possible OOM
+    ]
+    for batch, remat, levels in configs:
+        try:
+            bench_train_step_cached(batch=batch, remat=remat,
+                                    remat_levels=levels)
+        except Exception as e:
+            print(json.dumps({
+                "metric": "3d_ldm_cached_train_throughput",
+                "batch": batch, "remat": remat,
+                "remat_levels": list(levels) if levels else None,
+                "value": None, "error": str(e)[:200],
+            }), flush=True)
+        _phase(f"cached sweep b{batch} remat={remat} levels={levels}")
 
 
 def bench_train_2d(context: bool = False):
@@ -594,6 +632,9 @@ def main():
         return
     if "--train" in sys.argv:
         bench_train_step()
+        return
+    if "--train-cached-sweep" in sys.argv:
+        bench_train_cached_sweep()
         return
     if "--train-cached" in sys.argv:
         bench_train_step_cached()

@@ -4,7 +4,7 @@ sampling — the round-2 TPU-native throughput features end to end.
 1. synthesize a tiny BraTS tree;
 2. train the two-stage 3D LDM with ``train.cache_latents=True`` (the VAE
    encodes each volume once, stage 2 trains from latent crops — with
-   remat batching, 10.5× the per-chip step throughput at flagship scale,
+   selective-remat batching, 15.2× the per-chip step throughput at flagship scale,
    PERF.md);
 3. sample volumes data-parallel over every available device
    (``parallel.sharded_sample`` through ``generate.generate_3d_volumes``)

@@ -33,7 +33,8 @@ class DataConfig:
                                                # cache_latents is on (latents
                                                # are ~64x smaller than the
                                                # volumes the VAE stage
-                                               # batches; 32 + unet.remat is
+                                               # batches; 32 + selective
+                                               # unet.remat_levels=(0,) is
                                                # the measured single-chip
                                                # optimum, PERF.md)
     shuffle_seed: int = 0
@@ -52,6 +53,11 @@ class UNetConfig:
     use_attention: bool = False                # 3D bottleneck attention
     attention_levels: Tuple[int, ...] = ()     # extra attention levels (3D)
     remat: bool = False                        # res-block rematerialization
+    remat_levels: Optional[Tuple[int, ...]] = None  # selective remat: only
+                                               # res blocks at these levels
+                                               # (0 = full resolution) are
+                                               # rematerialized; overrides
+                                               # `remat` when set (3D only)
     compute_dtype: str = "bfloat16"
 
 

@@ -59,12 +59,26 @@ class UNet3D(nn.Module):
     # rematerialize res blocks in the backward pass (trade FLOPs for HBM —
     # enables bigger volumes/batches in training; jax.checkpoint)
     remat: bool = False
+    # selective remat: when set, ONLY res blocks at these resolution levels
+    # (0 = full latent resolution; bottleneck counts as the deepest level)
+    # are rematerialized, overriding ``remat``. Level-0 activations dominate
+    # the HBM footprint (64× the per-tensor bytes of the bottleneck at 3
+    # levels) while level-0 convs are only ~57% of the FLOPs — rematting
+    # just level 0 buys most of the memory for roughly half the recompute
+    # of full remat (measured ladder in PERF.md).
+    remat_levels: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         # explicit names keep the param tree identical with/without remat
-        Res = nn.remat(ResBlock3D) if self.remat else ResBlock3D
+        def res_cls(level: int):
+            if self.remat_levels is not None:
+                wrap = level in self.remat_levels
+            else:
+                wrap = self.remat
+            return nn.remat(ResBlock3D) if wrap else ResBlock3D
+
         rb = iter(range(100))
         chs = [self.base_channels * m for m in self.channel_mults]
         num_levels = len(chs)
@@ -83,6 +97,7 @@ class UNet3D(nn.Module):
 
         skips = []
         for i, ch in enumerate(chs):
+            Res = res_cls(i)
             h = Res(ch, self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
             h = Res(ch, self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
             if i in self.attention_levels:
@@ -91,6 +106,7 @@ class UNet3D(nn.Module):
             if i != num_levels - 1:
                 h = Downsample(chs[i + 1], spatial_rank=3, dtype=self.dtype)(h)
 
+        Res = res_cls(num_levels - 1)
         h = Res(chs[-1], self.groups, dtype=self.dtype, name=f"ResBlock3D_{next(rb)}")(h, t_emb)
         if self.use_attention:
             h = AttentionBlock3D(
@@ -105,6 +121,7 @@ class UNet3D(nn.Module):
 
         for i in reversed(range(num_levels)):
             ch = chs[i]
+            Res = res_cls(i)
             if i != num_levels - 1:
                 h = Upsample(ch, spatial_rank=3, dtype=self.dtype)(h)
             skip = skips.pop()

@@ -111,6 +111,7 @@ def build_unet3d(cfg: UNetConfig, *, use_flash: Optional[bool] = None) -> UNet3D
         attention_levels=cfg.attention_levels,
         use_flash_attention=use_flash,
         remat=cfg.remat,
+        remat_levels=cfg.remat_levels,
         dtype=_dtype(cfg.compute_dtype),
     )
 
@@ -470,7 +471,8 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
         lat_ds = PackedLatentDataset(cache_dir, lat_patch, random_crop=True)
         # same split seed over the same case order => identical subject split;
         # stage 2 batches latents (64x smaller than volumes) so it gets its
-        # own batch size — 32 + unet.remat is the measured optimum (PERF.md)
+        # own batch size — 32 + unet.remat_levels=(0,) (selective remat of
+        # the full-resolution blocks only) is the measured optimum (PERF.md)
         train_loader, val_loader = _make_loaders(
             cfg, lat_ds, mesh, batch_size=d.latent_batch_size
         )

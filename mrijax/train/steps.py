@@ -220,11 +220,13 @@ def make_cached_latent_train_step(
     pure function of the data — encode each full volume ONCE offline
     (``mrijax.data.packing.pack_latents``) and train from latent crops.
     Measured on one v5e chip at flagship scale (PERF.md "Cached-latent
-    training"): encode-per-step at the reference's bs=1 trains 2.46
-    volumes/s; the cached step trains 17.8 vols/s at batch 8 and 25.5 at
-    batch 32 with ``unet.remat=True`` (10.5×) — the encode leaves the
-    step entirely, batching fills the MXU, and remat keeps batch ≥16
-    inside HBM.
+    training"): encode-per-step at the reference's bs=1 trains ~2.5
+    volumes/s; the cached step at batch 32 with selective remat
+    (``unet.remat_levels=(0,)`` — only the full-resolution res blocks
+    recompute) trains ~29 vols/s — the encode leaves the step entirely,
+    batching fills the MXU, and remat of just the level-0 activations
+    (the HBM hog) keeps batch ≥16 inside HBM for half the recompute of
+    full remat.
 
     batch: {"latent": (B, d, h, w, Cz)} — raw (unscaled) VAE means.
     Identical math to ``make_latent_diffusion_train_step`` given the same

@@ -225,6 +225,9 @@ def test_train_3d_two_stage_cached(brats_root, tmp_path):
             "unet.time_emb_dim": 16,
             "unet.num_heads": 2,
             "unet.compute_dtype": "float32",
+            # the shipped tuned recipe: selective remat of the level-0
+            # res blocks only (PERF.md "Cached-latent training")
+            "unet.remat_levels": (0,),
             "diffusion.timesteps": 10,
             "train.epochs": 1,
             "train.checkpoint_dir": str(tmp_path / "ckpt"),

@@ -48,6 +48,36 @@ def test_unet3d_and_vae_remat_grads_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
     vkw = dict(in_channels=4, base_channels=8, num_down=2, latent_channels=4)
+    _check_vae_remat(vkw, x)
+
+
+def test_unet3d_selective_remat_levels_match():
+    """remat_levels wraps only the listed levels; param tree and math are
+    identical to the unwrapped model (so checkpoints are interchangeable)."""
+    ukw = dict(in_channels=4, base_channels=8, channel_mults=(1, 2),
+               time_emb_dim=16, use_attention=False)
+    u0 = UNet3D(remat=False, **ukw)
+    x = jnp.ones((1, 8, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    p = u0.init(jax.random.PRNGKey(0), x, t)
+    for levels in [(0,), (1,), (0, 1)]:
+        u1 = UNet3D(remat_levels=levels, **ukw)
+        p1 = u1.init(jax.random.PRNGKey(0), x, t)
+        assert (jax.tree.map(lambda a: a.shape, p)
+                == jax.tree.map(lambda a: a.shape, p1))
+        np.testing.assert_allclose(
+            np.asarray(u0.apply(p, x, t)), np.asarray(u1.apply(p, x, t)),
+            atol=1e-6,
+        )
+        g0 = jax.grad(lambda pp: jnp.sum(u0.apply(pp, x, t) ** 2))(p)
+        g1 = jax.grad(lambda pp: jnp.sum(u1.apply(pp, x, t) ** 2))(p)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+
+
+def _check_vae_remat(vkw, x):
     v0 = VAE3D(remat=False, **vkw)
     v1 = VAE3D(remat=True, **vkw)
     pv = v0.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
