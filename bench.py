@@ -476,6 +476,93 @@ def bench_train_cached_sweep():
         _phase(f"cached sweep b{batch} remat={remat} levels={levels}")
 
 
+def bench_train_vae(batch: int = 1, remat: bool = True):
+    """Stage-1 VAE train step (``--train-vae``): L1 + 1e-4·KL on full-res
+    (128×160×160×4) volumes → grad → Adam, one compiled program — the
+    reference's stage-1 hot loop (`ddpm_3d_ldm/train.py:258-348`, bs=1 per
+    GPU). ``remat=True`` is the shipped (and only viable) flagship-size
+    mode: the un-rematerialized fwd+bwd program crashes the TPU compiler
+    at 128×160×160 (worker compile-helper exit 1; it compiles fine at
+    96×128×128 and below — PERF.md). ``--train-vae-sweep`` ladders batch
+    sizes in one session."""
+    import numpy as np
+
+    from mrijax.models import VAE3D
+    from mrijax.train import create_train_state
+    from mrijax.train.steps import make_vae_train_step
+
+    vae = VAE3D(in_channels=4, base_channels=32, num_down=3,
+                latent_channels=16, dtype=jnp.bfloat16, remat=remat)
+    vae_params = _init_on_cpu(
+        vae, jnp.zeros((1, 16, 16, 16, 4), jnp.bfloat16), jax.random.PRNGKey(1)
+    )
+    state = jax.device_put(
+        create_train_state(vae_params, 1e-4), jax.devices()[0]
+    )
+    # donate=True (the trainer's real mode) is REQUIRED here: the remat
+    # step's execution peak sits close enough to the 16 GB HBM limit that
+    # keeping a second (non-donated) train state alive OOMs the second
+    # invocation (localized r3: first step + readback fine, second step
+    # RESOURCE_EXHAUSTED)
+    step = make_vae_train_step(vae)
+    batch_d = {
+        "volume": jax.device_put(
+            np.random.default_rng(0)
+            .normal(size=(batch, *VOLUME_SHAPE, 4))
+            .astype(np.float32)
+            .astype(jnp.bfloat16)
+        )
+    }
+    key = jax.random.PRNGKey(0)
+
+    vae_analysis = VAE3D(in_channels=4, base_channels=32, num_down=3,
+                         latent_channels=16, dtype=jnp.bfloat16, remat=remat)
+    step_analysis = make_vae_train_step(vae_analysis, donate=False)
+    # return the FULL (state, metrics) so XLA cannot dead-code-eliminate
+    # the gradient/Adam part out of the cost analysis
+    step_flops = _flops_of(step_analysis, state, batch_d, key)
+
+    state, metrics = step(state, batch_d, key)
+    _ = float(metrics["loss"])
+    n = 4
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, metrics = step(state, batch_d, jax.random.fold_in(key, i))
+        _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "vae3d_train_throughput",
+        "value": round(batch / dt, 3),
+        "unit": (
+            f"volumes/sec trained (batch {batch} full-res 128x160x160x4, "
+            f"L1+KL + Adam{', remat' if remat else ''})"
+        ),
+        "vs_baseline": None,
+        "sec_per_step": round(dt, 4),
+        "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
+        "mfu": _mfu(step_flops, dt),
+    }), flush=True)
+
+
+def bench_train_vae_sweep():
+    """Same-session ladder of the stage-1 VAE step
+    (``--train-vae-sweep``). Measured reality at the flagship patch size
+    (PERF.md): batch 1 + remat is the ONLY config the TPU compiler
+    accepts — batch ≥2 (with or without remat) and batch 1 without remat
+    all crash the worker compile helper — so the sweep runs the viable
+    config first and keeps the two crash probes as documentation."""
+    configs = [(1, True), (2, True), (1, False)]
+    for batch, remat in configs:
+        try:
+            bench_train_vae(batch=batch, remat=remat)
+        except Exception as e:
+            print(json.dumps({
+                "metric": "vae3d_train_throughput", "batch": batch,
+                "remat": remat, "value": None, "error": str(e)[:200],
+            }), flush=True)
+        _phase(f"vae sweep b{batch} remat={remat}")
+
+
 def bench_train_2d(context: bool = False):
     """2D / 2.5D family train-step benchmark (``--train-2d`` /
     ``--train-25d``) at the reference configs — 2D: bs 64, 128², 1 channel
@@ -635,6 +722,12 @@ def main():
         return
     if "--train-cached-sweep" in sys.argv:
         bench_train_cached_sweep()
+        return
+    if "--train-vae-sweep" in sys.argv:
+        bench_train_vae_sweep()
+        return
+    if "--train-vae" in sys.argv:
+        bench_train_vae()
         return
     if "--train-cached" in sys.argv:
         bench_train_step_cached()

@@ -994,6 +994,19 @@ def cmd_doctor(args):
         print(f"  device: {d}  platform_version={pv!r}")
     print(f"  process {jax.process_index()}/{jax.process_count()}, "
           f"{jax.local_device_count()} local / {jax.device_count()} global devices")
+    for d in jax.local_devices():
+        try:
+            ms = d.memory_stats() or {}
+        except Exception:
+            ms = {}
+        used = ms.get("bytes_in_use")
+        limit = ms.get("bytes_limit")
+        if used is not None and limit:
+            print(f"  {d}: HBM {used / 2**30:.2f} / {limit / 2**30:.2f} GiB in use")
+        else:
+            # RESOURCE_EXHAUSTED on a remote chip with no visible stats
+            # usually means another session holds it (one process at a time)
+            print(f"  {d}: memory stats unavailable on this backend")
 
     from mrijax.data import cnifti
 

@@ -212,7 +212,12 @@ def preset_ddpm_3d_ldm(root_dir: str = "", **over) -> ExperimentConfig:
     cfg = ExperimentConfig(
         family="ddpm_3d_ldm",
         data=DataConfig(root_dir=root_dir, batch_size=1, patch_size=(128, 160, 160)),
-        vae=VAEConfig(in_channels=4, base_channels=32, num_down=3, latent_channels=16),
+        # vae.remat=True is required at the flagship patch size: the
+        # un-rematerialized stage-1 fwd+bwd program is large enough to crash
+        # the TPU compiler (measured — PERF.md "Stage-1 VAE training"), and
+        # remat is math-identical (tests/test_remat.py)
+        vae=VAEConfig(in_channels=4, base_channels=32, num_down=3,
+                      latent_channels=16, remat=True),
         unet=UNetConfig(
             in_channels=16, out_channels=16, base_channels=128,
             channel_mults=(1, 2, 4), use_attention=True,

@@ -77,6 +77,28 @@ def test_unet3d_selective_remat_levels_match():
             )
 
 
+def test_flagship_preset_remat_defaults():
+    """The 3D preset must ship vae.remat=True: the un-rematerialized
+    stage-1 fwd+bwd program at the flagship 128×160×160 patch crashes the
+    TPU compiler (measured, PERF.md "Stage-1 VAE training"); remat is
+    math-identical (tests above). remat_levels flows config → model."""
+    from mrijax.config import ExperimentConfig, preset_ddpm_3d_ldm
+    from mrijax.train.experiments import build_unet3d, build_vae3d
+
+    cfg = preset_ddpm_3d_ldm()
+    assert cfg.vae.remat is True
+    assert build_vae3d(cfg.vae).remat is True
+
+    cfg.unet.remat_levels = (0,)
+    assert build_unet3d(cfg.unet, use_flash=False).remat_levels == (0,)
+    # round-trip through JSON keeps the tuple
+    cfg2 = ExperimentConfig.from_dict(
+        __import__("json").loads(cfg.to_json())
+    )
+    assert cfg2.unet.remat_levels == (0,)
+    assert cfg2.vae.remat is True
+
+
 def _check_vae_remat(vkw, x):
     v0 = VAE3D(remat=False, **vkw)
     v1 = VAE3D(remat=True, **vkw)
