@@ -216,6 +216,12 @@ def _export_cached(tag: str, jitted, *example_args):
     _phase(f"{tag}: trace+lower (no blob)")
     try:
         blob.parent.mkdir(exist_ok=True)
+        # drop stale same-tag blobs first: .gitignore un-ignores these by
+        # pattern, so leftovers from old fingerprints would show up as
+        # untracked quarter-MB binaries on every source edit
+        for old in blob.parent.glob(f"bench_{tag}_*.jaxexport"):
+            if old != blob:
+                old.unlink(missing_ok=True)
         blob.write_bytes(exp.serialize())
     except Exception as e:  # cache write must never break the bench
         print(f"# export blob save failed ({e})", file=sys.stderr)
@@ -373,7 +379,8 @@ def bench_train_step_cached(batch: int = 32, remat: bool = False,
     PRECOMPUTED frozen-VAE latents (``pack_latents``) at TPU-native batch
     with SELECTIVE rematerialization — only the full-resolution (level-0)
     res blocks recompute in the backward pass. Level-0 activations are the
-    HBM hog (64× the per-tensor bytes of the bottleneck) while level-0
+    HBM hog (16× the per-tensor bytes of the bottleneck: spatial 64× /
+    channels ×4) while level-0
     convs are only ~57% of the FLOPs, so ``remat_levels=(0,)`` keeps the
     memory win of full remat for roughly half the recompute: measured
     same-session ladder (PERF.md) — batch 32 full remat 3.79 s/step vs
@@ -456,7 +463,7 @@ def bench_train_cached_sweep():
     OOM) configs run last and are reported as failed lines instead of
     killing the sweep."""
     configs = [
-        (32, True, None),      # shipped: full remat
+        (32, True, None),      # r2 recipe: full remat (control row)
         (32, False, (0,)),     # selective: recompute only level-0 blocks
         (16, False, (0,)),
         (48, False, (0,)),     # possible OOM
@@ -504,7 +511,7 @@ def bench_train_vae(batch: int = 1, remat: bool = True):
     # keeping a second (non-donated) train state alive OOMs the second
     # invocation (localized r3: first step + readback fine, second step
     # RESOURCE_EXHAUSTED)
-    step = make_vae_train_step(vae)
+    step = make_vae_train_step(vae, donate=True)
     batch_d = {
         "volume": jax.device_put(
             np.random.default_rng(0)
@@ -515,11 +522,10 @@ def bench_train_vae(batch: int = 1, remat: bool = True):
     }
     key = jax.random.PRNGKey(0)
 
-    vae_analysis = VAE3D(in_channels=4, base_channels=32, num_down=3,
-                         latent_channels=16, dtype=jnp.bfloat16, remat=remat)
-    step_analysis = make_vae_train_step(vae_analysis, donate=False)
-    # return the FULL (state, metrics) so XLA cannot dead-code-eliminate
-    # the gradient/Adam part out of the cost analysis
+    # same module, donation off (CPU lowering for analysis only); return
+    # the FULL (state, metrics) so XLA cannot dead-code-eliminate the
+    # gradient/Adam part out of the cost analysis
+    step_analysis = make_vae_train_step(vae, donate=False)
     step_flops = _flops_of(step_analysis, state, batch_d, key)
 
     state, metrics = step(state, batch_d, key)

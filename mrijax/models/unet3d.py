@@ -62,8 +62,9 @@ class UNet3D(nn.Module):
     # selective remat: when set, ONLY res blocks at these resolution levels
     # (0 = full latent resolution; bottleneck counts as the deepest level)
     # are rematerialized, overriding ``remat``. Level-0 activations dominate
-    # the HBM footprint (64× the per-tensor bytes of the bottleneck at 3
-    # levels) while level-0 convs are only ~57% of the FLOPs — rematting
+    # the HBM footprint (16× the per-tensor bytes of the bottleneck at 3
+    # levels: spatial shrinks 64× while channels grow 4×) while level-0
+    # convs are only ~57% of the FLOPs — rematting
     # just level 0 buys most of the memory for roughly half the recompute
     # of full remat (measured ladder in PERF.md).
     remat_levels: Any = None
@@ -71,6 +72,20 @@ class UNet3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        rb = iter(range(100))
+        chs = [self.base_channels * m for m in self.channel_mults]
+        num_levels = len(chs)
+
+        if self.remat_levels is not None:
+            bad = [l for l in self.remat_levels if not 0 <= l < num_levels]
+            if bad:
+                # a typo'd level would otherwise silently disable remat
+                # everywhere (it overrides `remat`) and fall off the HBM cliff
+                raise ValueError(
+                    f"remat_levels {tuple(self.remat_levels)} out of range for "
+                    f"{num_levels} resolution levels (valid: 0..{num_levels - 1})"
+                )
+
         # explicit names keep the param tree identical with/without remat
         def res_cls(level: int):
             if self.remat_levels is not None:
@@ -78,10 +93,6 @@ class UNet3D(nn.Module):
             else:
                 wrap = self.remat
             return nn.remat(ResBlock3D) if wrap else ResBlock3D
-
-        rb = iter(range(100))
-        chs = [self.base_channels * m for m in self.channel_mults]
-        num_levels = len(chs)
 
         t_emb = TimeEmbedding(self.time_emb_dim, dtype=self.dtype)(t)
         h = nn.Conv(chs[0], (3, 3, 3), padding=1, dtype=self.dtype)(

@@ -85,6 +85,13 @@ def build_diffusion(cfg: DiffusionConfig) -> GaussianDiffusion:
 
 
 def build_unet2d(cfg: UNetConfig) -> UNet2D:
+    if cfg.remat_levels is not None:
+        # fail loudly instead of silently ignoring the knob: only the 3D
+        # UNet implements per-level selective remat
+        raise ValueError(
+            "unet.remat_levels is only supported by the 3D UNet "
+            "(ddpm_3d_ldm family); use unet.remat for the 2D/2.5D families"
+        )
     return UNet2D(
         in_channels=cfg.in_channels,
         out_channels=cfg.out_channels,
@@ -98,6 +105,16 @@ def build_unet2d(cfg: UNetConfig) -> UNet2D:
 
 
 def build_unet3d(cfg: UNetConfig, *, use_flash: Optional[bool] = None) -> UNet3D:
+    if cfg.remat_levels is not None:
+        # validate HERE (not only at trace time): the two-stage trainer
+        # otherwise spends all of stage 1 before the stage-2 UNet traces
+        n = len(cfg.channel_mults)
+        bad = [l for l in cfg.remat_levels if not 0 <= l < n]
+        if bad:
+            raise ValueError(
+                f"unet.remat_levels {tuple(cfg.remat_levels)} out of range "
+                f"for {n} resolution levels (valid: 0..{n - 1})"
+            )
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
     return UNet3D(
@@ -352,6 +369,10 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
     own_logger = logger is None
     logger = logger or MetricsLogger(cfg.family, run_name=cfg.name)
     logger.log_params(_flatten_cfg(cfg))
+
+    # fail fast on a bad stage-2 UNet config BEFORE the (expensive) VAE
+    # stage runs — the UNet is otherwise only built after stage 1
+    build_unet3d(cfg.unet, use_flash=False)
 
     d = cfg.data
     if d.packed_dir:

@@ -60,21 +60,24 @@ def test_unet3d_selective_remat_levels_match():
     x = jnp.ones((1, 8, 8, 8, 4))
     t = jnp.zeros((1,), jnp.int32)
     p = u0.init(jax.random.PRNGKey(0), x, t)
+    y0 = np.asarray(u0.apply(p, x, t))
+    g0 = jax.grad(lambda pp: jnp.sum(u0.apply(pp, x, t) ** 2))(p)
     for levels in [(0,), (1,), (0, 1)]:
         u1 = UNet3D(remat_levels=levels, **ukw)
         p1 = u1.init(jax.random.PRNGKey(0), x, t)
         assert (jax.tree.map(lambda a: a.shape, p)
                 == jax.tree.map(lambda a: a.shape, p1))
-        np.testing.assert_allclose(
-            np.asarray(u0.apply(p, x, t)), np.asarray(u1.apply(p, x, t)),
-            atol=1e-6,
-        )
-        g0 = jax.grad(lambda pp: jnp.sum(u0.apply(pp, x, t) ** 2))(p)
+        np.testing.assert_allclose(y0, np.asarray(u1.apply(p, x, t)), atol=1e-6)
         g1 = jax.grad(lambda pp: jnp.sum(u1.apply(pp, x, t) ** 2))(p)
         for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
             )
+
+    # out-of-range levels fail loudly instead of silently disabling remat
+    import pytest
+    with pytest.raises(ValueError, match="remat_levels"):
+        UNet3D(remat_levels=(3,), **ukw).init(jax.random.PRNGKey(0), x, t)
 
 
 def test_flagship_preset_remat_defaults():
@@ -91,6 +94,12 @@ def test_flagship_preset_remat_defaults():
 
     cfg.unet.remat_levels = (0,)
     assert build_unet3d(cfg.unet, use_flash=False).remat_levels == (0,)
+
+    # the 2D builder rejects the 3D-only knob instead of silently no-op'ing
+    import pytest
+    from mrijax.train.experiments import build_unet2d
+    with pytest.raises(ValueError, match="remat_levels"):
+        build_unet2d(cfg.unet)
     # round-trip through JSON keeps the tuple
     cfg2 = ExperimentConfig.from_dict(
         __import__("json").loads(cfg.to_json())
