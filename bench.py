@@ -642,6 +642,80 @@ def bench_train_2d(context: bool = False):
     }))
 
 
+def bench_sample_2d(steps: int = None, sampler: str = "ddim"):
+    """2D slice sampling throughput (``--sample-2d``): batch-64 generation
+    at 128², one compiled scan — the loop that dominates the reference's
+    eval cost (`slice_cond_2d_ddpm/metrics.py:347-389` samples matched
+    fakes with the full T=1000 ancestral loop; ~10⁶ UNet forwards per
+    eval run). Default measures the reference protocol (T=1000 ancestral),
+    executed as 4 RNG-identical segments (``p_sample_loop_segmented``) —
+    a single ~85 s execution crashes the remote tunnel worker (measured:
+    251-step/21 s scans run, 999-step scans kill the worker; PERF.md);
+    ``--steps N`` measures the strided fast path instead."""
+    import numpy as np
+
+    from mrijax.diffusion import GaussianDiffusion, linear_beta_schedule, make_schedule
+    from mrijax.models import UNet2D
+
+    bs, size, T = 64, 128, 1000
+    model = UNet2D(in_channels=1, out_channels=1, base_channels=64,
+                   channel_mults=(1, 2, 4, 8), dtype=jnp.bfloat16)
+    diffusion = GaussianDiffusion(make_schedule(linear_beta_schedule(T)))
+    params = _init_on_cpu(
+        model, jnp.zeros((1, 16, 16, 1), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
+    )
+    z_pos = jax.device_put(
+        np.random.default_rng(0).uniform(size=(bs,)).astype(np.float32)
+    )
+
+    def sample(params, z_pos, key):
+        def model_fn(x, t):
+            return model.apply(params, x, t, z_pos)
+
+        if steps is None:
+            # NOT under an outer jit: the segments must stay separate
+            # device executions to dodge the tunnel's per-execution cap
+            return diffusion.p_sample_loop_segmented(
+                model_fn, (bs, size, size, 1), key, segments=4
+            )
+        return diffusion.fast_sample(
+            model_fn, (bs, size, size, 1), key, num_steps=steps, sampler=sampler
+        )
+
+    n_evals = steps if steps is not None else T
+    fwd_flops = _flops_of(
+        lambda p, z, x, t: model.apply(p, x, t, z),
+        params, z_pos, jnp.zeros((bs, size, size, 1), jnp.bfloat16),
+        jnp.zeros((bs,), jnp.int32),
+    )
+    total_flops = n_evals * fwd_flops if fwd_flops else None
+
+    # fast path: one fused program; protocol path: keep segments un-jitted
+    fn = jax.jit(sample) if steps is not None else sample
+    key = jax.random.PRNGKey(42)
+    out = fn(params, z_pos, key)
+    _ = float(jnp.asarray(out, jnp.float32).mean())
+    _phase("sample-2d compile+warmup")
+    n = 2
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = fn(params, z_pos, jax.random.fold_in(key, i))
+        _ = float(jnp.asarray(out, jnp.float32).mean())
+    dt = (time.perf_counter() - t0) / n
+    mode = (f"{sampler}-{steps}" if steps is not None
+            else f"ancestral T={T} (reference protocol)")
+    print(json.dumps({
+        "metric": "slice_cond_2d_sampling_throughput",
+        "value": round(bs / dt, 2),
+        "unit": f"slices/sec/chip (batch {bs} @ {size}², {mode})",
+        "vs_baseline": None,
+        "secs_per_batch": round(dt, 3),
+        "pipeline_tflops": round(total_flops / 1e12, 1) if total_flops else None,
+        "mfu": _mfu(total_flops, dt),
+    }), flush=True)
+
+
 def bench_sweep():
     """Same-session A/B sweep of the sampling pipeline (``--sweep``):
     batch × decode-chunk × DDIM steps measured in ONE process so the
@@ -737,6 +811,15 @@ def main():
         return
     if "--train-cached" in sys.argv:
         bench_train_step_cached()
+        return
+    if "--sample-2d" in sys.argv:
+        steps = None
+        if "--steps" in sys.argv:
+            steps = int(sys.argv[sys.argv.index("--steps") + 1])
+        sampler = "ddim"
+        if "--sampler" in sys.argv:
+            sampler = sys.argv[sys.argv.index("--sampler") + 1]
+        bench_sample_2d(steps=steps, sampler=sampler)
         return
     if "--train-2d" in sys.argv:
         bench_train_2d(context=False)

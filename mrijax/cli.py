@@ -395,7 +395,10 @@ def cmd_eval(args):
                 model_fn, shape, k, num_steps=args.ddim_steps,
                 sampler=getattr(args, "sampler", "ddim"),
             )
-        return diffusion.p_sample_loop(model_fn, shape, k)
+        # segmented on tunnel backends: one T=1000 execution would exceed
+        # the remote worker's per-execution cap (generate._ancestral)
+        from mrijax.generate import _ancestral
+        return _ancestral(diffusion, model_fn, shape, k)
 
     def sample_fn(batch, k):
         z = jnp.asarray(batch["z_pos"])

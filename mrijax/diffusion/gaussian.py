@@ -125,11 +125,20 @@ class GaussianDiffusion:
         *,
         start_t: Optional[int] = None,
         x_t: Optional[jnp.ndarray] = None,
+        end_t: int = 0,
     ) -> jnp.ndarray:
         """Full (or partial, from ``start_t``) ancestral sampling as one scan.
 
         Covers the reference's ``p_sample_loop`` and ``sample_from``
         (`ddpm_3d_ldm/diffusion.py:128-165`).
+
+        ``end_t`` stops the scan after processing timestep ``end_t``
+        (default 0 = denoise to the end). Per-step noise is keyed by
+        ``fold_in(loop_key, absolute_t)`` and ``loop_key`` derives only
+        from ``key``, so chaining segments with the SAME key — e.g.
+        ``x = loop(key, end_t=500); loop(key, x_t=x, start_t=499)`` —
+        reproduces the single-scan draws bit-for-bit (pinned by test).
+        ``p_sample_loop_segmented`` packages that chaining.
         """
         b = shape[0]
         start = self.timesteps - 1 if start_t is None else int(start_t)
@@ -141,7 +150,42 @@ class GaussianDiffusion:
             noise = jax.random.normal(jax.random.fold_in(loop_key, i), shape, jnp.float32)
             return self.p_sample_step(model_fn, x, t, noise), None
 
-        x, _ = jax.lax.scan(step, x0, jnp.arange(start, -1, -1))
+        x, _ = jax.lax.scan(step, x0, jnp.arange(start, int(end_t) - 1, -1))
+        return x
+
+    def p_sample_loop_segmented(
+        self,
+        model_fn: ModelFn,
+        shape,
+        key: jax.Array,
+        *,
+        segments: int,
+        start_t: Optional[int] = None,
+        x_t: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Ancestral sampling split into ``segments`` device executions.
+
+        Math- and RNG-identical to ``p_sample_loop`` (same key ⇒ same
+        draws; pinned by test). ↗ No reference analog — this exists for
+        environments that cap a single accelerator execution's runtime
+        (e.g. remote-tunnel TPU workers crash past ~1 min of device time,
+        PERF.md "2D sampling"): T=1000 at 2D-batch scale exceeds the cap
+        as one scan, while segments of ~250 steps stream through
+        back-to-back dispatches with no host roundtrip between them.
+        """
+        if segments < 1:
+            raise ValueError(f"segments must be >= 1, got {segments}")
+        start = self.timesteps - 1 if start_t is None else int(start_t)
+        n_steps = start + 1
+        seg = -(-n_steps // segments)  # ceil
+        x = x_t
+        hi = start
+        while hi >= 0:
+            lo = max(hi - seg + 1, 0)
+            x = self.p_sample_loop(
+                model_fn, shape, key, start_t=hi, x_t=x, end_t=lo
+            )
+            hi = lo - 1
         return x
 
     def ddim_step(

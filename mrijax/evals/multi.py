@@ -207,7 +207,9 @@ def _evaluate_one(
         shape = (z.shape[0], s, s, cfg.unet.out_channels)
         if ddim_steps:
             return diffusion.ddim_sample(model_fn, shape, k, num_steps=ddim_steps)
-        return diffusion.p_sample_loop(model_fn, shape, k)
+        # segmented on tunnel backends (generate._ancestral)
+        from mrijax.generate import _ancestral
+        return _ancestral(diffusion, model_fn, shape, k)
 
     return evaluate_conditional_2d(
         sample_fn, iter(loader), feature_extractor=fe,

@@ -31,6 +31,37 @@ import numpy as np
 from mrijax.diffusion import GaussianDiffusion
 
 
+def _ancestral_segments() -> int:
+    """How many device executions to split a full-T ancestral scan into.
+
+    Remote-tunnel TPU workers crash past roughly a minute of single-
+    execution device time (measured: a 251-step 2D scan runs, a 999-step
+    one kills the worker — PERF.md "2D sampling"), so on such backends the
+    full-T loops run as RNG-identical segments
+    (``GaussianDiffusion.p_sample_loop_segmented``, equality pinned by
+    test). Local backends keep the single fused scan. Override with
+    ``MRIJAX_SAMPLE_SEGMENTS``. Mesh-sharded sampling keeps one program
+    per shard regardless (shard_map fuses the sampler body); tunnels are
+    single-chip, so the combination does not arise in practice."""
+    import os
+
+    v = os.environ.get("MRIJAX_SAMPLE_SEGMENTS")
+    if v:
+        return max(1, int(v))
+    try:
+        pv = jax.devices()[0].client.platform_version
+    except Exception:
+        return 1
+    return 4 if "axon" in str(pv).lower() else 1
+
+
+def _ancestral(diffusion: GaussianDiffusion, model_fn, shape, key):
+    """Full ancestral sampling, segmented when the backend needs it."""
+    return diffusion.p_sample_loop_segmented(
+        model_fn, shape, key, segments=_ancestral_segments()
+    )
+
+
 # ------------------------------------------------------------------ 2D
 
 
@@ -64,7 +95,7 @@ def sample_2d(
             return diffusion.fast_sample(
                 model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
             )
-        return diffusion.p_sample_loop(model_fn, shape, k)
+        return _ancestral(diffusion, model_fn, shape, k)
 
     if mesh is not None:
         from mrijax.parallel.sampling import sharded_sample
@@ -101,7 +132,7 @@ def sample_pseudo3d_sweep(
             return diffusion.fast_sample(
                 model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
             )
-        return diffusion.p_sample_loop(model_fn, shape, k)
+        return _ancestral(diffusion, model_fn, shape, k)
 
     if mesh is not None:
         from mrijax.parallel.sampling import sharded_sample
@@ -149,7 +180,7 @@ def conditional_sample_25d(
             return diffusion.fast_sample(
                 model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
             )
-        return diffusion.p_sample_loop(model_fn, shape, k)
+        return _ancestral(diffusion, model_fn, shape, k)
 
     if mesh is not None:
         from mrijax.parallel.sampling import sharded_sample
@@ -296,7 +327,7 @@ def generate_3d_volumes(
                 model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
             )
         else:
-            z = diffusion.p_sample_loop(model_fn, shape, k)
+            z = _ancestral(diffusion, model_fn, shape, k)
         z = z / latent_scale
         return vae.apply(vp, z, method="decode_from_latent")
 

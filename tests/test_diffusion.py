@@ -88,6 +88,32 @@ def test_ancestral_matches_stepwise_python_loop(diff):
     np.testing.assert_allclose(np.asarray(got), np.asarray(x), rtol=1e-5, atol=1e-6)
 
 
+def test_segmented_ancestral_bit_identical(diff):
+    """p_sample_loop_segmented must reproduce the single-scan result
+    bit-for-bit: per-step noise is keyed by fold_in(loop_key, absolute_t)
+    and loop_key derives only from the caller's key, so chaining segments
+    with the same key replays the exact draws. This is the correctness
+    contract behind dodging the remote tunnel's per-execution time cap
+    (PERF.md '2D sampling')."""
+    model_fn = lambda x, t: 0.1 * x
+    shape = (2, 4, 4, 1)
+    key = jax.random.key(7)
+    whole = np.asarray(diff.p_sample_loop(model_fn, shape, key))
+    for segments in (2, 3, diff.timesteps):  # incl. one-step-per-segment
+        seg = np.asarray(diff.p_sample_loop_segmented(
+            model_fn, shape, key, segments=segments
+        ))
+        np.testing.assert_array_equal(whole, seg)
+    # partial-start chaining (the sample_from shape) also holds
+    x_t = jax.random.normal(jax.random.key(1), shape)
+    whole = np.asarray(diff.p_sample_loop(model_fn, shape, key,
+                                          start_t=19, x_t=x_t))
+    seg = np.asarray(diff.p_sample_loop_segmented(
+        model_fn, shape, key, segments=3, start_t=19, x_t=x_t
+    ))
+    np.testing.assert_array_equal(whole, seg)
+
+
 def test_ddim_perfect_eps_recovers_x0(diff):
     """With a model that returns the exact noise used in q_sample, DDIM from
     x_t must walk back to (nearly) x0."""
