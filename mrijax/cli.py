@@ -171,7 +171,7 @@ def cmd_sample(args):
                 model, params, diffusion, num_samples=args.num_samples,
                 image_size=s, z_pos=args.z_pos, key=key,
                 ddim_steps=args.ddim_steps, sampler=args.sampler, channels=cfg.unet.out_channels,
-                mesh=mesh,
+                mesh=mesh, guidance_scale=args.guidance_scale,
             )
             save_grid_png(out_dir / "grid.png", np.asarray(imgs)[..., :1])
             print(f"[cli] wrote {out_dir/'grid.png'}")
@@ -180,6 +180,7 @@ def cmd_sample(args):
                 model, params, diffusion, num_slices=args.num_slices,
                 image_size=s, key=key, ddim_steps=args.ddim_steps, sampler=args.sampler,
                 channels=cfg.unet.out_channels, mesh=mesh,
+                guidance_scale=args.guidance_scale,
             )
             save_grid_png(out_dir / "sweep.png", np.asarray(vol)[..., :1], nrow=16)
             nifti.save(out_dir / "sweep.nii.gz", np.asarray(vol)[..., 0])
@@ -1080,7 +1081,10 @@ def build_parser():
     t.add_argument("--config", default=None, help="config JSON (overrides preset)")
     t.add_argument("--root-dir", default=None)
     t.add_argument("--name", default=None)
-    t.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL",
+    # action="extend": repeated --set flags accumulate instead of the last
+    # silently replacing the rest (argparse nargs="*" alone keeps only the
+    # final occurrence)
+    t.add_argument("--set", nargs="*", action="extend", default=[], metavar="KEY=VAL",
                    help="dotted config overrides, e.g. train.epochs=3")
     t.set_defaults(fn=cmd_train)
 
@@ -1094,6 +1098,10 @@ def build_parser():
     s.add_argument("--z-pos", type=float, default=0.5)
     s.add_argument("--subject", type=int, default=0)
     s.add_argument("--ddim-steps", type=int, default=None)
+    s.add_argument("--guidance-scale", type=float, default=None,
+                   help="classifier-free guidance scale (2D/2.5D grid+sweep; "
+                        "needs a model trained with train.cond_dropout>0; "
+                        "1.0 = plain conditional)")
     s.add_argument("--sampler", default="ddim", choices=["ddim", "dpm"],
                    help="fast-path solver when --ddim-steps is set: "
                         "first-order DDIM or second-order DPM-Solver++(2M) "
@@ -1214,7 +1222,7 @@ def build_parser():
                     help="latent scale from the reference training run (3D)")
     it.add_argument("--root-dir", default=None)
     it.add_argument("--name", default=None)
-    it.add_argument("--set", nargs="*", default=[], metavar="KEY=VAL")
+    it.add_argument("--set", nargs="*", action="extend", default=[], metavar="KEY=VAL")
     it.set_defaults(fn=cmd_import_torch)
 
     pp = sub.add_parser("preprocess", help="pack data into npz shards")

@@ -104,6 +104,13 @@ class TrainConfig:
     cache_latents: bool = False                # 3D LDM stage: precompute
                                                # frozen-VAE latents once and
                                                # train from latent crops
+    cond_dropout: float = 0.0                  # classifier-free guidance:
+                                               # probability of replacing a
+                                               # sample's z_pos with the
+                                               # null token during training
+                                               # (2D/2.5D; 0 = off = exact
+                                               # reference behavior); sample
+                                               # with --guidance-scale
     ema_decay: Optional[float] = None          # EMA of the diffusion-model
                                                # params (e.g. 0.999); shadow
                                                # tree is checkpointed and

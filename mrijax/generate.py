@@ -65,6 +65,30 @@ def _ancestral(diffusion: GaussianDiffusion, model_fn, shape, key):
 # ------------------------------------------------------------------ 2D
 
 
+def cfg_model_fn(model, params, z, guidance_scale: float, context=None):
+    """Classifier-free-guided ε-predictor for the slice-position condition.
+
+    ε = ε_null + s·(ε_cond − ε_null), evaluated as ONE batch-doubled
+    forward (conditional half + null-token half) so the guided sampler
+    stays a single scan. ``s=1`` is algebraically the plain conditional
+    model (pinned by test); requires training with
+    ``train.cond_dropout > 0`` so the network knows the null token
+    (`train.steps.CFG_NULL_Z`). ↗ No reference analog."""
+    from mrijax.train.steps import CFG_NULL_Z
+
+    def model_fn(x, t):
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        z2 = jnp.concatenate([z, jnp.full_like(z, CFG_NULL_Z)], axis=0)
+        ctx2 = (jnp.concatenate([context, context], axis=0)
+                if context is not None else None)
+        eps2 = model.apply(params, x2, t2, z2, ctx2)
+        eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+        return eps_u + guidance_scale * (eps_c - eps_u)
+
+    return model_fn
+
+
 def sample_2d(
     model,
     params,
@@ -78,17 +102,23 @@ def sample_2d(
     sampler: str = "ddim",
     channels: int = 1,
     mesh=None,
+    guidance_scale: Optional[float] = None,
 ):
     """Unconditional-ish grid sampling at a fixed slice position
     (`show_model.py` mode "2d", default z=0.5). With ``mesh``, the batch
-    is sharded data-parallel over the mesh (`parallel.sharded_sample`)."""
+    is sharded data-parallel over the mesh (`parallel.sharded_sample`).
+    ``guidance_scale`` enables classifier-free guidance (needs a model
+    trained with ``train.cond_dropout > 0``; doubles per-step compute)."""
     key = key if key is not None else jax.random.PRNGKey(0)
 
     def _sample(p, k, local):
         z = jnp.full((local,), z_pos, jnp.float32)
 
-        def model_fn(x, t):
-            return model.apply(p, x, t, z)
+        if guidance_scale is not None:
+            model_fn = cfg_model_fn(model, p, z, guidance_scale)
+        else:
+            def model_fn(x, t):
+                return model.apply(p, x, t, z)
 
         shape = (local, image_size, image_size, channels)
         if ddim_steps is not None:
@@ -116,6 +146,7 @@ def sample_pseudo3d_sweep(
     sampler: str = "ddim",
     channels: int = 1,
     mesh=None,
+    guidance_scale: Optional[float] = None,
 ):
     """z-sweep pseudo-3D volume: all ``num_slices`` positions sampled as one
     batch (`show_model.py:152-209`). Returns (S, H, W, C). With ``mesh``,
@@ -124,8 +155,11 @@ def sample_pseudo3d_sweep(
     z = jnp.linspace(0.0, 1.0, num_slices)
 
     def _sample(p, k, z_local):
-        def model_fn(x, t):
-            return model.apply(p, x, t, z_local)
+        if guidance_scale is not None:
+            model_fn = cfg_model_fn(model, p, z_local, guidance_scale)
+        else:
+            def model_fn(x, t):
+                return model.apply(p, x, t, z_local)
 
         shape = (z_local.shape[0], image_size, image_size, channels)
         if ddim_steps is not None:

@@ -286,7 +286,7 @@ def train_slice_cond_2d(cfg: ExperimentConfig, mesh=None, logger=None) -> Traine
         make_diffusion_train_step(
             model, diffusion, t_min=cfg.diffusion.t_min,
             nan_guard=cfg.train.nan_guard, ema_decay=cfg.train.ema_decay,
-            donate=not use_fsdp,
+            donate=not use_fsdp, cond_dropout=cfg.train.cond_dropout,
         ),
         min_leaf_elems=cfg.train.fsdp_min_leaf_elems,
     )
@@ -337,7 +337,7 @@ def train_ddpm_25d(cfg: ExperimentConfig, mesh=None, logger=None) -> TrainerResu
         make_diffusion_train_step(
             model, diffusion, t_min=cfg.diffusion.t_min,
             nan_guard=cfg.train.nan_guard, ema_decay=cfg.train.ema_decay,
-            donate=not use_fsdp,
+            donate=not use_fsdp, cond_dropout=cfg.train.cond_dropout,
         ),
         min_leaf_elems=cfg.train.fsdp_min_leaf_elems,
     )

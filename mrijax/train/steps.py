@@ -51,22 +51,35 @@ def apply_if_finite(state, grads, loss):
 # --------------------------------------------------------------------- DDPM
 
 
+# classifier-free-guidance null token for the slice-position condition:
+# real z_pos lives in [0, 1]; the network learns -1 as "no condition"
+# when trained with cond_dropout > 0 (↗ no reference analog)
+CFG_NULL_Z = -1.0
+
+
 def make_diffusion_train_step(
     model, diffusion: GaussianDiffusion, *, t_min: int = 0, donate: bool = True,
-    nan_guard: bool = False, ema_decay=None,
+    nan_guard: bool = False, ema_decay=None, cond_dropout: float = 0.0,
 ):
     """Train step for the 2D / 2.5D DDPMs.
 
     batch: {"image": (B, H, W, C), "z_pos": (B,) [, "context": (B, H, W, Ck)]}
     ``ema_decay``: when set, the state's EMA shadow params are updated in
     the same program (state must be created with ``ema=True``).
+    ``cond_dropout``: classifier-free-guidance training — each sample's
+    z_pos is replaced by the ``CFG_NULL_Z`` null token with this
+    probability, teaching one network both the conditional and the
+    unconditional score so sampling can extrapolate between them
+    (``generate.sample_2d(guidance_scale=...)``). 0.0 (the default)
+    leaves the program AND its RNG stream bit-identical to the
+    pre-CFG step (pinned by test).
     """
 
-    def loss_fn(params, batch, t, noise):
+    def loss_fn(params, batch, t, noise, z):
         context = batch.get("context")
 
         def model_fn(x, tt):
-            return model.apply(params, x, tt, batch["z_pos"], context)
+            return model.apply(params, x, tt, z, context)
 
         return diffusion.p_losses(model_fn, batch["image"], t, noise)
 
@@ -76,7 +89,16 @@ def make_diffusion_train_step(
         b = batch["image"].shape[0]
         t = sample_timesteps(tkey, b, diffusion.timesteps, t_min)
         noise = jax.random.normal(nkey, batch["image"].shape, jnp.float32)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, t, noise)
+        z = batch["z_pos"]
+        if cond_dropout > 0.0:
+            # extra key derived only in the CFG regime so cond_dropout=0
+            # reproduces the historical draw sequence exactly
+            dkey = jax.random.fold_in(key, 0x0CF6)
+            drop = jax.random.bernoulli(dkey, cond_dropout, (b,))
+            z = jnp.where(drop, jnp.float32(CFG_NULL_Z), z)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, t, noise, z
+        )
         if nan_guard:
             state, loss = apply_if_finite(state, grads, loss)
         else:

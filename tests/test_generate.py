@@ -58,6 +58,56 @@ def test_sample_2d_and_sweep():
     assert float(jnp.abs(d - g).max()) > 1e-7
 
 
+def test_classifier_free_guidance():
+    """CFG contract: scale=1 is algebraically the plain conditional model
+    (ε_u + 1·(ε_c − ε_u) = ε_c), other scales move the result; the
+    cond_dropout=1 train step equals the plain step on null-token z."""
+    from mrijax.train import create_train_state
+    from mrijax.train.steps import CFG_NULL_Z, make_diffusion_train_step
+
+    model = UNet2D(in_channels=1, out_channels=1, base_channels=8,
+                   channel_mults=(1, 2), time_emb_dim=16)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1,)))
+    diffusion = GaussianDiffusion(make_schedule(linear_beta_schedule(10)))
+    key = jax.random.PRNGKey(3)
+
+    plain = generate.sample_2d(model, params, diffusion, num_samples=2,
+                               image_size=16, key=key, ddim_steps=4)
+    s1 = generate.sample_2d(model, params, diffusion, num_samples=2,
+                            image_size=16, key=key, ddim_steps=4,
+                            guidance_scale=1.0)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(s1),
+                               rtol=1e-5, atol=1e-5)
+    s3 = generate.sample_2d(model, params, diffusion, num_samples=2,
+                            image_size=16, key=key, ddim_steps=4,
+                            guidance_scale=3.0)
+    assert float(jnp.abs(s3 - plain).max()) > 1e-6
+
+    # dropout=1 <=> training on the null token with identical t/noise draws
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(4, 16, 16, 1)).astype(np.float32)),
+        "z_pos": jnp.asarray(rng.uniform(size=(4,)).astype(np.float32)),
+    }
+    batch_null = dict(batch, z_pos=jnp.full((4,), CFG_NULL_Z, jnp.float32))
+    state = create_train_state(params, 1e-3)
+    step_drop = make_diffusion_train_step(model, diffusion, donate=False,
+                                          cond_dropout=1.0)
+    step_plain = make_diffusion_train_step(model, diffusion, donate=False)
+    sd, ld = step_drop(state, batch, key)
+    sp, lp = step_plain(state, batch_null, key)
+    assert float(ld) == pytest.approx(float(lp), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(sd.params), jax.tree.leaves(sp.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # dropout=0 keeps the historical draws: identical to the default step
+    s0, l0 = make_diffusion_train_step(model, diffusion, donate=False,
+                                       cond_dropout=0.0)(state, batch, key)
+    s_ref, l_ref = step_plain(state, batch, key)
+    assert float(l0) == float(l_ref)
+
+
 def test_pseudo3d_real_context_batched_matches_per_slice(brats_root, model25d):
     """The batched implementation must produce exactly what per-slice calls
     with the same fold_in keys produce (validating the batching rewrite of
