@@ -648,7 +648,7 @@ def bench_sample_2d(steps: int = None, sampler: str = "ddim"):
     eval cost (`slice_cond_2d_ddpm/metrics.py:347-389` samples matched
     fakes with the full T=1000 ancestral loop; ~10⁶ UNet forwards per
     eval run). Default measures the reference protocol (T=1000 ancestral),
-    executed as 4 RNG-identical segments (``p_sample_loop_segmented``) —
+    executed as RNG-identical segments (``p_sample_loop_auto``) —
     a single ~85 s execution crashes the remote tunnel worker (measured:
     251-step/21 s scans run, 999-step scans kill the worker; PERF.md);
     ``--steps N`` measures the strided fast path instead."""
@@ -676,8 +676,8 @@ def bench_sample_2d(steps: int = None, sampler: str = "ddim"):
         if steps is None:
             # NOT under an outer jit: the segments must stay separate
             # device executions to dodge the tunnel's per-execution cap
-            return diffusion.p_sample_loop_segmented(
-                model_fn, (bs, size, size, 1), key, segments=4
+            return diffusion.p_sample_loop_auto(
+                model_fn, (bs, size, size, 1), key
             )
         return diffusion.fast_sample(
             model_fn, (bs, size, size, 1), key, num_steps=steps, sampler=sampler
@@ -813,12 +813,21 @@ def main():
         bench_train_step_cached()
         return
     if "--sample-2d" in sys.argv:
-        steps = None
-        if "--steps" in sys.argv:
-            steps = int(sys.argv[sys.argv.index("--steps") + 1])
-        sampler = "ddim"
-        if "--sampler" in sys.argv:
-            sampler = sys.argv[sys.argv.index("--sampler") + 1]
+        def _flag_value(flag):
+            i = sys.argv.index(flag)
+            if i + 1 >= len(sys.argv):
+                raise SystemExit(f"{flag} needs a value")
+            return sys.argv[i + 1]
+
+        steps = int(_flag_value("--steps")) if "--steps" in sys.argv else None
+        sampler = (_flag_value("--sampler") if "--sampler" in sys.argv
+                   else "ddim")
+        if steps is None and "--sampler" in sys.argv:
+            raise SystemExit(
+                "--sampler only applies to the strided fast path; add "
+                "--steps N (the default mode is the T=1000 ancestral "
+                "reference protocol)"
+            )
         bench_sample_2d(steps=steps, sampler=sampler)
         return
     if "--train-2d" in sys.argv:

@@ -22,6 +22,12 @@ Design rules:
   built on; ``load_exported`` fails fast with a clear message when the
   serving backend differs (the default jax error fires at call time, far
   from the cause).
+* **One program, one execution.** An exported sampler is a single device
+  execution by construction — the segmented full-T workaround for
+  remote-tunnel execution caps (PERF.md "2D sampling") cannot apply
+  inside a blob. For serving THROUGH a tunnel, export the strided fast
+  path (``ddim_steps``/``sampler="dpm"``, the intended serving mode);
+  full-T ancestral exports are for local/direct-attached accelerators.
 
 CLI: ``mrijax export-aot --run-dir RUN --out prog.jaxexport`` builds the
 run's volume sampler; a serving process then does::

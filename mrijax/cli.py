@@ -142,9 +142,18 @@ def cmd_sample(args):
     if getattr(args, "data_parallel", False):
         from mrijax.parallel import make_mesh
 
+        from mrijax.diffusion.gaussian import ancestral_segments_for_backend
+
         if args.mode == "pseudo3d-hybrid":
             print("[cli] note: pseudo3d-hybrid is sequential over slices "
                   "(autoregressive); --data-parallel has no effect")
+        elif not args.ddim_steps and ancestral_segments_for_backend() > 1:
+            # shard_map traces the segmented loop into ONE fused program,
+            # re-exposing the tunnel's per-execution cap (PERF.md)
+            print("[cli] note: full-T ancestral sampling on this backend "
+                  "must run segmented, which --data-parallel would fuse "
+                  "back into one over-cap execution — running single-device "
+                  "(use --ddim-steps/--sampler dpm for sharded sampling)")
         else:
             mesh = make_mesh(("data",))
             print(f"[cli] data-parallel sampling over {mesh.shape['data']} devices")
@@ -166,6 +175,14 @@ def cmd_sample(args):
         state, _ = _restore_params(run_dir, template)
         params = inference_params(state)
 
+        ctx_ch_ = cfg.unet.in_channels - cfg.unet.out_channels
+        if (args.guidance_scale is not None and ctx_ch_ > 0
+                and args.mode in ("grid", "sweep")):
+            raise SystemExit(
+                "--guidance-scale with a 2.5D (context-conditioned) model "
+                "applies to --mode pseudo3d-real|pseudo3d-hybrid (grid/sweep "
+                "have no context to condition on)"
+            )
         if args.mode == "grid":
             imgs = generate.sample_2d(
                 model, params, diffusion, num_samples=args.num_samples,
@@ -202,11 +219,13 @@ def cmd_sample(args):
                 vol = generate.generate_pseudo3d_real_context(
                     model, params, diffusion, ds, args.subject, key=key,
                     ddim_steps=args.ddim_steps, sampler=args.sampler, mesh=mesh,
+                    guidance_scale=args.guidance_scale,
                 )
             else:  # hybrid is inherently sequential over slices
                 vol = generate.generate_pseudo3d_hybrid(
                     model, params, diffusion, ds, args.subject, key=key,
                     ddim_steps=args.ddim_steps, sampler=args.sampler,
+                    guidance_scale=args.guidance_scale,
                 )
             vol = np.asarray(vol)
             for c in range(vol.shape[-1]):
@@ -350,6 +369,7 @@ def cmd_eval(args):
     # sampling, ~num_samples × T UNet forwards) over all devices
     mesh = None
     if getattr(args, "data_parallel", False):
+        from mrijax.diffusion.gaussian import ancestral_segments_for_backend
         from mrijax.parallel import make_mesh
 
         if args.batch_size % jax.device_count():
@@ -357,8 +377,16 @@ def cmd_eval(args):
                 f"--data-parallel needs --batch-size divisible by the "
                 f"device count ({jax.device_count()})"
             )
-        mesh = make_mesh(("data",))
-        print(f"[cli] data-parallel sampling over {mesh.shape['data']} devices")
+        if not args.ddim_steps and ancestral_segments_for_backend() > 1:
+            # shard_map would fuse the segmented full-T scan into one
+            # over-cap execution on this backend (PERF.md "2D sampling")
+            print("[cli] note: full-T ancestral sampling on this backend "
+                  "must run segmented, which --data-parallel would fuse "
+                  "back into one over-cap execution — running "
+                  "single-device (use --ddim-steps for sharded eval)")
+        else:
+            mesh = make_mesh(("data",))
+            print(f"[cli] data-parallel sampling over {mesh.shape['data']} devices")
 
     # a split smaller than the batch size used to die three frames from its
     # cause (zero batches → "need ≥2 samples for covariance"); keep the
@@ -397,9 +425,8 @@ def cmd_eval(args):
                 sampler=getattr(args, "sampler", "ddim"),
             )
         # segmented on tunnel backends: one T=1000 execution would exceed
-        # the remote worker's per-execution cap (generate._ancestral)
-        from mrijax.generate import _ancestral
-        return _ancestral(diffusion, model_fn, shape, k)
+        # the remote worker's per-execution cap (PERF.md "2D sampling")
+        return diffusion.p_sample_loop_auto(model_fn, shape, k)
 
     def sample_fn(batch, k):
         z = jnp.asarray(batch["z_pos"])

@@ -6,7 +6,10 @@ from mrijax.diffusion.schedules import (
     cosine_beta_schedule,
     make_schedule,
 )
-from mrijax.diffusion.gaussian import GaussianDiffusion
+from mrijax.diffusion.gaussian import (
+    GaussianDiffusion,
+    ancestral_segments_for_backend,
+)
 
 __all__ = [
     "DiffusionSchedule",
@@ -14,4 +17,5 @@ __all__ = [
     "cosine_beta_schedule",
     "make_schedule",
     "GaussianDiffusion",
+    "ancestral_segments_for_backend",
 ]

@@ -38,6 +38,31 @@ from mrijax.diffusion.schedules import DiffusionSchedule
 ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def ancestral_segments_for_backend() -> int:
+    """How many device executions a full-T ancestral scan should split into.
+
+    Remote-tunnel TPU workers crash past roughly a minute of single-
+    execution device time (measured thresholds in PERF.md "2D sampling"),
+    so on such backends full-T loops run as RNG-identical segments
+    (``p_sample_loop_segmented``; equality pinned by test). The default of
+    8 keeps each segment under the cap with headroom for classifier-free
+    guidance's 2× per-step cost and the documented ~2.5× slow-session
+    variance (worst measured case: 125 steps × 2 × 2.5 × 85 ms ≈ 53 s at
+    4 segments vs ≈ 27 s at 8; inter-segment dispatches are free — no
+    host roundtrip). Local backends return 1 (single fused scan).
+    Override with ``MRIJAX_SAMPLE_SEGMENTS``."""
+    import os
+
+    v = os.environ.get("MRIJAX_SAMPLE_SEGMENTS")
+    if v:
+        return max(1, int(v))
+    try:
+        pv = jax.devices()[0].client.platform_version
+    except Exception:
+        return 1
+    return 8 if "axon" in str(pv).lower() else 1
+
+
 def _extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
     """Gather per-batch schedule values a[t] and reshape to (B, 1, ..., 1)."""
     out = a[t]
@@ -152,6 +177,30 @@ class GaussianDiffusion:
 
         x, _ = jax.lax.scan(step, x0, jnp.arange(start, int(end_t) - 1, -1))
         return x
+
+    def p_sample_loop_auto(
+        self,
+        model_fn: ModelFn,
+        shape,
+        key: jax.Array,
+        *,
+        start_t: Optional[int] = None,
+        x_t: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Ancestral sampling with backend-appropriate segmentation.
+
+        Local backends run the single fused scan; remote-tunnel backends
+        (which crash past ~1 min of single-execution device time, PERF.md
+        "2D sampling") run ``ancestral_segments_for_backend()``
+        RNG-identical segments. Callers must NOT wrap this in an outer
+        ``jax.jit`` / ``shard_map`` — that fuses the segments back into
+        one program and re-exposes the crash (use ``p_sample_loop`` there
+        and keep per-execution time under the cap some other way)."""
+        return self.p_sample_loop_segmented(
+            model_fn, shape, key,
+            segments=ancestral_segments_for_backend(),
+            start_t=start_t, x_t=x_t,
+        )
 
     def p_sample_loop_segmented(
         self,

@@ -207,9 +207,8 @@ def _evaluate_one(
         shape = (z.shape[0], s, s, cfg.unet.out_channels)
         if ddim_steps:
             return diffusion.ddim_sample(model_fn, shape, k, num_steps=ddim_steps)
-        # segmented on tunnel backends (generate._ancestral)
-        from mrijax.generate import _ancestral
-        return _ancestral(diffusion, model_fn, shape, k)
+        # segmented on tunnel backends (PERF.md "2D sampling")
+        return diffusion.p_sample_loop_auto(model_fn, shape, k)
 
     return evaluate_conditional_2d(
         sample_fn, iter(loader), feature_extractor=fe,

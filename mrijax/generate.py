@@ -31,37 +31,6 @@ import numpy as np
 from mrijax.diffusion import GaussianDiffusion
 
 
-def _ancestral_segments() -> int:
-    """How many device executions to split a full-T ancestral scan into.
-
-    Remote-tunnel TPU workers crash past roughly a minute of single-
-    execution device time (measured: a 251-step 2D scan runs, a 999-step
-    one kills the worker — PERF.md "2D sampling"), so on such backends the
-    full-T loops run as RNG-identical segments
-    (``GaussianDiffusion.p_sample_loop_segmented``, equality pinned by
-    test). Local backends keep the single fused scan. Override with
-    ``MRIJAX_SAMPLE_SEGMENTS``. Mesh-sharded sampling keeps one program
-    per shard regardless (shard_map fuses the sampler body); tunnels are
-    single-chip, so the combination does not arise in practice."""
-    import os
-
-    v = os.environ.get("MRIJAX_SAMPLE_SEGMENTS")
-    if v:
-        return max(1, int(v))
-    try:
-        pv = jax.devices()[0].client.platform_version
-    except Exception:
-        return 1
-    return 4 if "axon" in str(pv).lower() else 1
-
-
-def _ancestral(diffusion: GaussianDiffusion, model_fn, shape, key):
-    """Full ancestral sampling, segmented when the backend needs it."""
-    return diffusion.p_sample_loop_segmented(
-        model_fn, shape, key, segments=_ancestral_segments()
-    )
-
-
 # ------------------------------------------------------------------ 2D
 
 
@@ -125,7 +94,7 @@ def sample_2d(
             return diffusion.fast_sample(
                 model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
             )
-        return _ancestral(diffusion, model_fn, shape, k)
+        return diffusion.p_sample_loop_auto(model_fn, shape, k)
 
     if mesh is not None:
         from mrijax.parallel.sampling import sharded_sample
@@ -166,7 +135,7 @@ def sample_pseudo3d_sweep(
             return diffusion.fast_sample(
                 model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
             )
-        return _ancestral(diffusion, model_fn, shape, k)
+        return diffusion.p_sample_loop_auto(model_fn, shape, k)
 
     if mesh is not None:
         from mrijax.parallel.sampling import sharded_sample
@@ -196,25 +165,33 @@ def conditional_sample_25d(
     sampler: str = "ddim",
     out_channels: int = 4,
     mesh=None,
+    guidance_scale: Optional[float] = None,
 ):
     """Sample center slices given (z_pos (B,), context (B, H, W, Ck)).
     With ``mesh``, the (z_pos, context) batch is sharded data-parallel —
-    real-context pseudo-3D generation then scales linearly with chips."""
+    real-context pseudo-3D generation then scales linearly with chips.
+    ``guidance_scale`` applies classifier-free guidance on the z condition
+    (the context stays attached to both halves; needs a model trained with
+    ``train.cond_dropout > 0``)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     h, w = context.shape[1], context.shape[2]
 
     def _sample(p, k, cond):
         z_l, ctx_l = cond
 
-        def model_fn(x, t):
-            return model.apply(p, x, t, z_l, ctx_l)
+        if guidance_scale is not None:
+            model_fn = cfg_model_fn(model, p, z_l, guidance_scale,
+                                    context=ctx_l)
+        else:
+            def model_fn(x, t):
+                return model.apply(p, x, t, z_l, ctx_l)
 
         shape = (ctx_l.shape[0], h, w, out_channels)
         if ddim_steps is not None:
             return diffusion.fast_sample(
                 model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
             )
-        return _ancestral(diffusion, model_fn, shape, k)
+        return diffusion.p_sample_loop_auto(model_fn, shape, k)
 
     if mesh is not None:
         from mrijax.parallel.sampling import sharded_sample
@@ -237,6 +214,7 @@ def generate_pseudo3d_real_context(
     sampler: str = "ddim",
     batch_size: Optional[int] = None,
     mesh=None,
+    guidance_scale: Optional[float] = None,
 ):
     """All slices of one subject conditioned on their REAL neighbors.
 
@@ -267,7 +245,7 @@ def generate_pseudo3d_real_context(
                 z_pos[s0 : s0 + bs], context[s0 : s0 + bs],
                 key=jax.random.fold_in(key, s0), ddim_steps=ddim_steps,
                 sampler=sampler,
-                mesh=use_mesh,
+                mesh=use_mesh, guidance_scale=guidance_scale,
             )
         )
     return jnp.concatenate(outs, axis=0)
@@ -284,6 +262,7 @@ def generate_pseudo3d_hybrid(
     ddim_steps: Optional[int] = None,
     sampler: str = "ddim",
     progress: Optional[Callable[[int, int], None]] = None,
+    guidance_scale: Optional[float] = None,
 ):
     """Ascending-z autoregressive generation: context uses already-generated
     slices for j<k, real slices otherwise; out-of-range neighbors fall back
@@ -316,7 +295,7 @@ def generate_pseudo3d_hybrid(
         out = conditional_sample_25d(
             model, params, diffusion, z, context,
             key=jax.random.fold_in(key, k), ddim_steps=ddim_steps,
-            sampler=sampler,
+            sampler=sampler, guidance_scale=guidance_scale,
         )
         gen[k] = np.asarray(out[0])
         if progress is not None:
@@ -361,7 +340,7 @@ def generate_3d_volumes(
                 model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
             )
         else:
-            z = _ancestral(diffusion, model_fn, shape, k)
+            z = diffusion.p_sample_loop_auto(model_fn, shape, k)
         z = z / latent_scale
         return vae.apply(vp, z, method="decode_from_latent")
 
