@@ -235,6 +235,12 @@ def cmd_sample(args):
         else:
             raise SystemExit(f"mode {args.mode!r} invalid for {cfg.family}")
     elif cfg.family == "ddpm_3d_ldm":
+        if args.guidance_scale is not None:
+            raise SystemExit(
+                "--guidance-scale is not supported for the ddpm_3d_ldm "
+                "family (unconditional latent sampling has no condition to "
+                "guide on; the flag would be silently ignored)"
+            )
         vae = build_vae3d(cfg.vae)
         unet = build_unet3d(cfg.unet)
         unet_init = build_unet3d(cfg.unet, use_flash=False)
@@ -954,10 +960,15 @@ def cmd_serve(args):
         try:
             out = np.asarray(exp.call(*call_args(key)), dtype=np.float32)
         except (TypeError, ValueError) as e:
+            # Chain the original exception: a ValueError from deep inside
+            # the export runtime must stay diagnosable, not be rewritten
+            # as a mismatch unconditionally.
             raise SystemExit(
-                f"program/weights mismatch: {e}\n  were {args.program} and "
-                f"{args.weights} exported from the same run/config?"
-            ) from None
+                f"serve failed calling the exported program: {e}\n  if the "
+                "error is about argument structure/shapes, check that "
+                f"{args.program} and {args.weights} were exported from the "
+                "same run/config (full traceback above)"
+            ) from e
         if b == 0:
             t0 = time.perf_counter()  # first batch pays the XLA compile
         if family == "ddpm_3d_ldm":

@@ -406,7 +406,12 @@ class GaussianDiffusion:
                 r = (lam_s - lam_prev) / h  # h_prev/h in λ-time
                 c = 1.0 / (2.0 * jnp.maximum(r, 1e-8))
                 d2 = (1.0 + c) * x0 - c * x0_prev
-                d = jnp.where(is_first > 0, x0, d2)
+                # Force first order on the terminal to_x0 transition
+                # (t_prev<0 ⇒ ᾱ_prev=1): there the σ clamp makes h huge, so
+                # c = h_prev/(2h) would wildly extrapolate x0 − x0_prev.
+                # Standard DPM-Solver++ `lower_order_final` behavior.
+                is_final_x0 = jnp.asarray(t_prev_i < 0, jnp.float32)
+                d = jnp.where((is_first > 0) | (is_final_x0 > 0), x0, d2)
             else:
                 d = x0
             x_next = (sigma_t / sigma_s) * xf - alpha_t * jnp.expm1(-h) * d

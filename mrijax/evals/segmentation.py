@@ -1,12 +1,14 @@
 """Segmentation-map metrics: per-label Dice and HD95.
 
 Parity with `evaluation_scripts/evaluate_models.py:476-549` (BraTS labels
-1/2/4): Dice = 2|A∩B| / (|A|+|B|) with the empty-empty convention = 1.0;
-HD95 = 95th percentile of the symmetric MASK-to-mask distances (the EDT of
-each mask's complement sampled at every voxel of the other mask — interior
-voxels of the overlap contribute 0, exactly the reference's
-`distance_transform_edt` formulation at :519-527; NOT a surface-to-surface
-variant, which disagrees whenever masks overlap).
+1/2/4): Dice = (2|A∩B| + eps) / (|A|+|B| + eps) with eps=1e-5, the
+reference's literal smoothed formula at :495-498 (the empty-empty
+convention = 1.0 falls out as eps/eps); HD95 = 95th percentile of the
+symmetric MASK-to-mask distances (the EDT of each mask's complement
+sampled at every voxel of the other mask — interior voxels of the overlap
+contribute 0, exactly the reference's `distance_transform_edt`
+formulation at :519-527; NOT a surface-to-surface variant, which
+disagrees whenever masks overlap).
 """
 
 from typing import Dict, Sequence
@@ -16,21 +18,31 @@ from scipy import ndimage
 
 BRATS_LABELS = (1, 2, 4)
 
+DICE_EPS = 1e-5  # evaluate_models.py:480
 
-def dice_coefficient(a: np.ndarray, b: np.ndarray) -> float:
+
+def dice_coefficient(a: np.ndarray, b: np.ndarray,
+                     eps: float = DICE_EPS) -> float:
+    """Smoothed Dice `(2I + eps) / (|A|+|B| + eps)`
+    (`evaluate_models.py:495-498`). Both masks empty → eps/eps = 1.0."""
     a = np.asarray(a, bool)
     b = np.asarray(b, bool)
+    inter = np.logical_and(a, b).sum()
     denom = a.sum() + b.sum()
-    if denom == 0:
-        return 1.0
-    return float(2.0 * np.logical_and(a, b).sum() / denom)
+    return float((2.0 * inter + eps) / (denom + eps))
 
 
 def dice_per_label(
-    pred: np.ndarray, target: np.ndarray, labels: Sequence[int] = BRATS_LABELS
+    pred: np.ndarray, target: np.ndarray, labels: Sequence[int] = BRATS_LABELS,
+    eps: float = DICE_EPS,
 ) -> Dict[int, float]:
+    pred = np.asarray(pred)
+    target = np.asarray(target)
+    if pred.shape != target.shape:
+        raise ValueError(
+            f"Shape mismatch: pred {pred.shape}, target {target.shape}")
     return {
-        int(l): dice_coefficient(pred == l, target == l) for l in labels
+        int(l): dice_coefficient(pred == l, target == l, eps) for l in labels
     }
 
 
@@ -55,4 +67,9 @@ def hd95_per_label(
     pred: np.ndarray, target: np.ndarray, labels: Sequence[int] = BRATS_LABELS,
     spacing=None,
 ) -> Dict[int, float]:
+    pred = np.asarray(pred)
+    target = np.asarray(target)
+    if pred.shape != target.shape:
+        raise ValueError(
+            f"Shape mismatch: pred {pred.shape}, target {target.shape}")
     return {int(l): hd95(pred == l, target == l, spacing) for l in labels}

@@ -77,8 +77,18 @@ def sample_2d(
     (`show_model.py` mode "2d", default z=0.5). With ``mesh``, the batch
     is sharded data-parallel over the mesh (`parallel.sharded_sample`).
     ``guidance_scale`` enables classifier-free guidance (needs a model
-    trained with ``train.cond_dropout > 0``; doubles per-step compute)."""
+    trained with ``train.cond_dropout > 0``; doubles per-step compute).
+
+    Mesh + full-T ancestral caveat: inside ``sharded_sample``'s shard_map
+    the scan fuses into ONE device execution, so tunnel backends with a
+    per-execution cap (PERF.md "2D sampling") can crash the worker — use
+    ``ddim_steps``/``sampler`` there, as the CLI does."""
     key = key if key is not None else jax.random.PRNGKey(0)
+    # Segmentation inside shard_map would fuse back into one execution
+    # anyway (p_sample_loop_auto docstring); call the plain loop there —
+    # bit-identical result, no redundant trace work.
+    ancestral = (diffusion.p_sample_loop if mesh is not None
+                 else diffusion.p_sample_loop_auto)
 
     def _sample(p, k, local):
         z = jnp.full((local,), z_pos, jnp.float32)
@@ -94,7 +104,7 @@ def sample_2d(
             return diffusion.fast_sample(
                 model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
             )
-        return diffusion.p_sample_loop_auto(model_fn, shape, k)
+        return ancestral(model_fn, shape, k)
 
     if mesh is not None:
         from mrijax.parallel.sampling import sharded_sample
@@ -119,9 +129,12 @@ def sample_pseudo3d_sweep(
 ):
     """z-sweep pseudo-3D volume: all ``num_slices`` positions sampled as one
     batch (`show_model.py:152-209`). Returns (S, H, W, C). With ``mesh``,
-    the z positions are sharded over the mesh's data axis."""
+    the z positions are sharded over the mesh's data axis (mesh + full-T
+    ancestral caveat: see ``sample_2d``)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     z = jnp.linspace(0.0, 1.0, num_slices)
+    ancestral = (diffusion.p_sample_loop if mesh is not None
+                 else diffusion.p_sample_loop_auto)
 
     def _sample(p, k, z_local):
         if guidance_scale is not None:
@@ -135,7 +148,7 @@ def sample_pseudo3d_sweep(
             return diffusion.fast_sample(
                 model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
             )
-        return diffusion.p_sample_loop_auto(model_fn, shape, k)
+        return ancestral(model_fn, shape, k)
 
     if mesh is not None:
         from mrijax.parallel.sampling import sharded_sample
@@ -172,9 +185,12 @@ def conditional_sample_25d(
     real-context pseudo-3D generation then scales linearly with chips.
     ``guidance_scale`` applies classifier-free guidance on the z condition
     (the context stays attached to both halves; needs a model trained with
-    ``train.cond_dropout > 0``)."""
+    ``train.cond_dropout > 0``). Mesh + full-T ancestral caveat: see
+    ``sample_2d``."""
     key = key if key is not None else jax.random.PRNGKey(0)
     h, w = context.shape[1], context.shape[2]
+    ancestral = (diffusion.p_sample_loop if mesh is not None
+                 else diffusion.p_sample_loop_auto)
 
     def _sample(p, k, cond):
         z_l, ctx_l = cond
@@ -191,7 +207,7 @@ def conditional_sample_25d(
             return diffusion.fast_sample(
                 model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
             )
-        return diffusion.p_sample_loop_auto(model_fn, shape, k)
+        return ancestral(model_fn, shape, k)
 
     if mesh is not None:
         from mrijax.parallel.sampling import sharded_sample
@@ -325,8 +341,11 @@ def generate_3d_volumes(
     """Latent sample → unscale → VAE decode (`show_model.py:249-259`).
     Returns (N, D, H, W, C) volumes in model space. With ``mesh``, volumes
     are sharded over the mesh's data axis — each chip denoises and decodes
-    its own shard with zero collectives (linear scaling over ICI)."""
+    its own shard with zero collectives (linear scaling over ICI).
+    Mesh + full-T ancestral caveat: see ``sample_2d``."""
     key = key if key is not None else jax.random.PRNGKey(0)
+    ancestral = (diffusion.p_sample_loop if mesh is not None
+                 else diffusion.p_sample_loop_auto)
 
     def _sample(ps, k, local):
         up, vp = ps
@@ -340,7 +359,7 @@ def generate_3d_volumes(
                 model_fn, shape, k, num_steps=ddim_steps, sampler=sampler
             )
         else:
-            z = diffusion.p_sample_loop_auto(model_fn, shape, k)
+            z = ancestral(model_fn, shape, k)
         z = z / latent_scale
         return vae.apply(vp, z, method="decode_from_latent")
 

@@ -13,10 +13,18 @@ reading the activation from HBM multiple times. This kernel does exactly
   with the transposed one-hot matmul, then (x−μ)·rsqrt(σ²+ε)·γ+β and SiLU
   fused in registers.
 
-Backward: custom_vjp recomputes through the XLA reference implementation
-(`mrijax.ops.norms.group_norm_silu`) — same recompute strategy as the flash
-attention kernel; the forward (sampling / frozen-VAE encode) is the hot
-path. Tail N-blocks are masked. fp32 statistics regardless of input dtype.
+Differentiation dispatch: under ``jax.grad``/``vjp`` the ``custom_vjp``
+FWD RULE runs — and it deliberately executes the XLA reference
+implementation (`mrijax.ops.norms.group_norm_silu`) instead of the Pallas
+kernel, with the backward as a plain ``jax.vjp`` through the same XLA fn.
+XLA then sees one ordinary differentiable GN+SiLU graph and fuses
+fwd+bwd optimally; the earlier design (Pallas forward + XLA recompute in
+the backward) paid one extra full activation read per train step and
+measured ~6% SLOWER than plain XLA on the 2D train step (PERF.md "Known
+micro-headroom", now closed). Undifferentiated calls — sampling, serving,
+the frozen-VAE encode — still run the fused Pallas primal body, where the
+2-read/1-write fusion is a strict win. Tail N-blocks are masked. fp32
+statistics regardless of input dtype.
 """
 
 import functools
@@ -160,7 +168,15 @@ def _pick_block(n: int) -> int:
 
 
 def _fwd(x, scale, bias, groups, eps):
-    return group_norm_silu_pallas(x, scale, bias, groups, eps), (x, scale, bias)
+    # Differentiation dispatch (see module docstring): when this op is
+    # being differentiated, run the XLA reference forward so the whole
+    # fwd+bwd is one XLA-fused GN graph — the Pallas forward here would
+    # only add an extra activation read on top of the backward's
+    # recompute. Primal (no-grad) calls never reach this rule and keep
+    # the fused Pallas kernel.
+    from mrijax.ops.norms import group_norm_silu
+
+    return group_norm_silu(x, groups, scale, bias, eps), (x, scale, bias)
 
 
 def _bwd(groups, eps, res, g):

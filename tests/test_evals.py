@@ -169,15 +169,47 @@ def test_memorization_detects_copies():
 # ------------------------------------------------------------ Dice/HD95
 
 def test_dice_hand_computed():
+    eps = 1e-5  # evaluate_models.py:480
     a = np.zeros((4, 4), int)
     b = np.zeros((4, 4), int)
     a[:2, :2] = 1  # 4 voxels
     b[:2, :3] = 1  # 6 voxels, overlap 4
-    assert dice_coefficient(a == 1, b == 1) == pytest.approx(2 * 4 / (4 + 6))
+    # Literal reference formula (evaluate_models.py:495-498): smoothed Dice.
+    assert dice_coefficient(a == 1, b == 1) == pytest.approx(
+        (2 * 4 + eps) / (4 + 6 + eps), abs=0
+    )
+    # Both-empty: eps/eps = exactly 1.0 — the smoothing IS the convention.
     assert dice_coefficient(np.zeros(4, bool), np.zeros(4, bool)) == 1.0
     labels = dice_per_label(a, b, labels=(1, 2))
-    assert labels[1] == pytest.approx(0.8)
+    assert labels[1] == pytest.approx((8 + eps) / (10 + eps), abs=0)
     assert labels[2] == 1.0  # both empty
+
+
+def test_dice_matches_reference_literal_formula():
+    """Replays the reference's exact smoothed expression
+    (evaluate_models.py:491-498) on random masks, including one-empty
+    cases where smoothing changes the value (unsmoothed would be 0)."""
+    rng = np.random.default_rng(3)
+    pred = rng.integers(0, 3, size=(9, 9)) * 2  # labels {0, 2, 4}
+    targ = rng.integers(0, 3, size=(9, 9)) * 2
+    eps = 1e-5
+    got = dice_per_label(pred, targ, labels=(1, 2, 4))
+    for lab in (1, 2, 4):
+        p_l = pred == lab
+        t_l = targ == lab
+        inter = np.logical_and(p_l, t_l).sum()
+        denom = p_l.sum() + t_l.sum()
+        want = float((2.0 * inter + eps) / (denom + eps))
+        assert got[lab] == want, lab
+    # label 1 is absent from both → eps/eps
+    assert got[1] == 1.0
+    # one-empty: smoothed value is eps/(n+eps), NOT 0
+    one = np.zeros((4, 4), int)
+    one[0, 0] = 1
+    d = dice_per_label(one, np.zeros((4, 4), int), labels=(1,))[1]
+    assert d == pytest.approx(eps / (1 + eps), rel=1e-9)
+    with pytest.raises(ValueError):
+        dice_per_label(np.zeros((4, 4)), np.zeros((5, 5)))
 
 
 def test_hd95_known_offset():

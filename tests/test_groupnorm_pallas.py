@@ -61,3 +61,35 @@ def test_gradients_match_reference():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_differentiated_forward_is_xla_path():
+    """Dispatch-on-differentiation (PERF.md "Known micro-headroom", closed):
+    under vjp the custom_vjp fwd rule runs the XLA reference, so the primal
+    OUTPUT of a differentiated call is bit-identical to group_norm_silu —
+    no Pallas kernel (and no extra activation read) in a train step."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 24, 32)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+
+    # NO interpreter-mode context: if the Pallas body ran under vjp this
+    # would fail on CPU (pallas_call unsupported) — passing proves the
+    # differentiated path never touches the kernel.
+    out, vjp_fn = jax.vjp(
+        lambda xx, ss, bb: group_norm_silu_pallas(xx, ss, bb, 4),
+        x, scale, bias,
+    )
+    want = group_norm_silu(x, 4, scale, bias)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+    # gradients equal the XLA reference's gradients exactly
+    g = jnp.ones_like(out)
+    gx, gs, gb = vjp_fn(g)
+    _, ref_vjp = jax.vjp(
+        lambda xx, ss, bb: group_norm_silu(xx, 4, ss, bb), x, scale, bias
+    )
+    rx, rs, rb = ref_vjp(g)
+    np.testing.assert_array_equal(np.asarray(gx), np.asarray(rx))
+    np.testing.assert_array_equal(np.asarray(gs), np.asarray(rs))
+    np.testing.assert_array_equal(np.asarray(gb), np.asarray(rb))

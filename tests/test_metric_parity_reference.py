@@ -322,3 +322,39 @@ def test_streaming_harness_equals_reference_protocol(tmp_path):
     # the numbers on disk are the numbers returned
     on_disk = json.loads((tmp_path / "metrics.json").read_text())
     assert on_disk["fid_rand"] == report["fid_rand"]
+
+
+def test_z_bin_assignment_matches_bucketize():
+    """Pins the z-bin convention delta documented in PARITY.md §2.7:
+    `harness._bin_of` (clip(int(z*8))) equals the reference's
+    `torch.bucketize(z, linspace(0,1,9)[1:-1], right=False)`
+    (`slice_cond_2d_ddpm/metrics.py:368-371`) for every interior value,
+    and differs ONLY on exact bin edges (we bucket up, torch buckets
+    down) — a measure-zero set for continuous z."""
+    torch = pytest.importorskip("torch")
+    from mrijax.evals.harness import NUM_Z_BINS, _bin_of
+
+    edges = torch.linspace(0.0, 1.0, NUM_Z_BINS + 1)
+    rng = np.random.default_rng(0)
+    z_interior = rng.uniform(0.0, 1.0, size=4096)
+    # keep away from exact edges (float64 uniform never hits them anyway,
+    # but make it explicit)
+    z_interior = z_interior[
+        np.abs(z_interior * NUM_Z_BINS - np.round(z_interior * NUM_Z_BINS))
+        > 1e-9
+    ]
+    ours = _bin_of(z_interior)
+    ref = torch.bucketize(
+        torch.from_numpy(z_interior), edges[1:-1], right=False
+    ).numpy()
+    np.testing.assert_array_equal(ours, ref)
+
+    # exact edge values: ref puts them in the LOWER bin, we in the UPPER
+    z_edges = np.arange(1, NUM_Z_BINS) / NUM_Z_BINS  # 0.125 .. 0.875
+    ours_e = _bin_of(z_edges)
+    ref_e = torch.bucketize(torch.from_numpy(z_edges), edges[1:-1],
+                            right=False).numpy()
+    np.testing.assert_array_equal(ours_e, ref_e + 1)
+    # endpoints agree (0 → bin 0, 1.0 → clipped to last bin both sides)
+    assert _bin_of(np.array([0.0]))[0] == 0
+    assert _bin_of(np.array([1.0]))[0] == NUM_Z_BINS - 1
