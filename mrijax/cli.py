@@ -19,6 +19,7 @@ reference's re-typed-config drift hazard (`ddpm_3d_ldm/show_model.py:391-408`).
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -48,6 +49,27 @@ def run_experiment_with_logger(cfg, logger):
 def cmd_train(args):
     from mrijax.config import PRESETS, ExperimentConfig, _apply_overrides
 
+    # Multi-process rendezvous FIRST — jax.distributed.initialize must run
+    # before anything touches the XLA backend. With no flags this is a
+    # no-op on single hosts and auto-discovers the coordinator on TPU pods /
+    # SLURM (the reference reaches the same point via torchrun env plumbing,
+    # ddpm_3d_ldm/train.py:76-105). Exercised for real by
+    # scripts/training_job_multihost.sh and tests/test_multiprocess_dcn.py.
+    if args.coordinator or args.num_processes or os.environ.get(
+            "MRIJAX_MULTIHOST"):
+        from mrijax.parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        import jax
+
+        print(f"[cli] multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
+
     if args.config:
         cfg = ExperimentConfig.from_json(args.config)
     else:
@@ -61,14 +83,24 @@ def cmd_train(args):
     _apply_overrides(cfg, _parse_set(args.set))
 
     run_dir = Path(cfg.train.checkpoint_dir) / cfg.family / cfg.name
-    run_dir.mkdir(parents=True, exist_ok=True)
-    cfg.to_json(run_dir / "config.json")
-    print(f"[cli] training {cfg.family}/{cfg.name} -> {run_dir}")
+    # rank-0-only writes: metrics.jsonl / config.json / MLflow mirror belong
+    # to host 0 alone (the reference gates the same way through torchrun
+    # rank checks); non-zero ranks log into a NullLogger
+    from mrijax.obs import MetricsLogger, NullLogger, run_with_energy
+
+    is_host0 = True
+    if args.coordinator or args.num_processes or os.environ.get(
+            "MRIJAX_MULTIHOST"):
+        import jax
+
+        is_host0 = jax.process_index() == 0
+    if is_host0:
+        run_dir.mkdir(parents=True, exist_ok=True)
+        cfg.to_json(run_dir / "config.json")
+        print(f"[cli] training {cfg.family}/{cfg.name} -> {run_dir}")
     # the reference wraps train() in the Perun profiler and logs the energy
     # summary post-run (helpers/perun_utils.py:132-148); same shape here
-    from mrijax.obs import MetricsLogger, run_with_energy
-
-    logger = MetricsLogger(cfg.family, run_name=cfg.name)
+    logger = MetricsLogger(cfg.family, run_name=cfg.name) if is_host0 else NullLogger()
     try:
         result = run_with_energy(
             lambda: run_experiment_with_logger(cfg, logger), logger=logger
@@ -1124,6 +1156,13 @@ def build_parser():
     # final occurrence)
     t.add_argument("--set", nargs="*", action="extend", default=[], metavar="KEY=VAL",
                    help="dotted config overrides, e.g. train.epochs=3")
+    t.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-process coordinator address (host 0); omit on "
+                        "TPU pods/SLURM where jax.distributed auto-discovers")
+    t.add_argument("--num-processes", type=int, default=None,
+                   help="total processes in the multi-process job")
+    t.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank in [0, num-processes)")
     t.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("sample", help="generate from a trained run")

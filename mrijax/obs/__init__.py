@@ -1,6 +1,6 @@
 """Observability: metrics logging, signals, timing, energy accounting."""
 
-from mrijax.obs.logger import MetricsLogger
+from mrijax.obs.logger import MetricsLogger, NullLogger
 from mrijax.obs.signals import install_signal_handlers, should_terminate, reset_termination
 from mrijax.obs.timing import StepTimer, device_memory_stats
 from mrijax.obs.energy import EnergyMonitor, NullEnergySensor, run_with_energy
@@ -9,6 +9,7 @@ from mrijax.obs.profiling import trace, step_annotation, annotate
 
 __all__ = [
     "MetricsLogger",
+    "NullLogger",
     "install_signal_handlers",
     "should_terminate",
     "reset_termination",

@@ -98,3 +98,33 @@ class MetricsLogger:
             for line in f:
                 out.append(json.loads(line))
         return out
+
+
+class NullLogger:
+    """No-op logger with the MetricsLogger interface, for non-zero ranks in
+    multi-process runs (the reference logs to MLflow from rank 0 only via
+    torchrun's rank gating); every process still computes the same metrics —
+    only the WRITES are host 0's."""
+
+    def log_params(self, params) -> None:
+        pass
+
+    def log_metric(self, key, value, step=None) -> None:
+        pass
+
+    def log_metrics(self, metrics, step=None) -> None:
+        pass
+
+    def set_tags(self, tags) -> None:
+        pass
+
+    def artifact_path(self, name: str) -> Path:
+        import tempfile
+
+        return Path(tempfile.mkdtemp(prefix="mrijax_null_artifacts_")) / name
+
+    def log_artifact(self, path) -> None:
+        pass
+
+    def finish(self) -> None:
+        pass

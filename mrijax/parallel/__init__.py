@@ -3,6 +3,7 @@
 from mrijax.parallel.mesh import (
     make_mesh,
     data_sharding,
+    global_put,
     replicated_sharding,
     shard_batch,
 )
@@ -23,6 +24,7 @@ from mrijax.parallel.multihost import (
 __all__ = [
     "make_mesh",
     "data_sharding",
+    "global_put",
     "replicated_sharding",
     "shard_batch",
     "fsdp_shardings",

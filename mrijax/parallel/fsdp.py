@@ -86,7 +86,9 @@ def shard_train_state(
     template layout when resuming.
     """
     shardings = fsdp_shardings(mesh, state, axis, min_leaf_elems)
-    return jax.device_put(state, shardings), shardings
+    from mrijax.parallel.mesh import global_put
+
+    return global_put(state, shardings), shardings
 
 
 def fsdp_step(step_fn, state_shardings, donate: bool = True):

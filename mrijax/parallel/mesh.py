@@ -57,6 +57,34 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_put(x, sharding):
+    """``device_put`` onto a (possibly multi-host) sharding.
+
+    Single-process this IS ``jax.device_put``. Multi-controller JAX forbids
+    device_put from a host-local array onto a sharding spanning other hosts
+    ("input and target sharding should have the same set of devices" — a
+    real-process failure the mocked round-3 tests never executed; pinned by
+    tests/test_multiprocess_dcn.py). Contract: every process holds the
+    IDENTICAL full host value (true for deterministic PRNG init, schedule
+    constants, restored checkpoints); each process then contributes exactly
+    its addressable shards, no cross-host transfer needed. This replaces the
+    reference's rank-0 ``dist.broadcast`` of initial params inside DDP
+    (torch DistributedDataParallel's _sync_params, train.py:231-233) —
+    determinism makes the broadcast unnecessary.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+
+    def put(leaf, s):
+        arr = np.asarray(leaf)
+        return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])
+
+    if isinstance(sharding, jax.sharding.Sharding):
+        return jax.tree.map(lambda leaf: put(leaf, sharding), x)
+    # pytree of shardings matching x (the FSDP layout case)
+    return jax.tree.map(put, x, sharding)
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     """Place a (possibly host-local numpy) batch pytree onto the mesh with the
     batch dim sharded over ``axis``.
@@ -70,16 +98,24 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
 
     def put(x):
         if np.ndim(x) == 0:
-            return jax.device_put(x, replicated_sharding(mesh))
-        if np.shape(x)[0] % n_axis != 0:
+            return global_put(x, replicated_sharding(mesh))
+        # Multi-process: x is this process's LOCAL shard; the divisibility
+        # contract is on the GLOBAL batch (local rows × process count).
+        # Checking the local dim against the global axis size rejected every
+        # valid multi-process batch — a real-process bug the mocked tests
+        # never executed; pinned by tests/test_multiprocess_dcn.py.
+        pc = jax.process_count()
+        global_rows = np.shape(x)[0] * pc
+        if global_rows % n_axis != 0:
             raise ValueError(
-                f"global batch dim {np.shape(x)[0]} is not divisible by mesh "
-                f"axis '{axis}' of size {n_axis}; pick a batch size that is a "
-                f"multiple of {n_axis}, or build a smaller mesh "
-                f"(make_mesh(devices=jax.devices()[:k]))"
+                f"global batch dim {global_rows} "
+                f"({np.shape(x)[0]} local rows x {pc} processes) is not "
+                f"divisible by mesh axis '{axis}' of size {n_axis}; pick a "
+                f"batch size that is a multiple of {n_axis}, or build a "
+                f"smaller mesh (make_mesh(devices=jax.devices()[:k]))"
             )
         sharding = data_sharding(mesh, np.ndim(x), axis)
-        if jax.process_count() > 1:
+        if pc > 1:
             return jax.make_array_from_process_local_data(sharding, np.asarray(x))
         return jax.device_put(x, sharding)
 

@@ -23,8 +23,15 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Idempotent ``jax.distributed.initialize`` (no-op when single-process
-    and no coordinator is configured)."""
-    if jax.process_count() > 1:
+    and no coordinator is configured).
+
+    The idempotence probe MUST NOT touch the XLA backend: calling
+    ``jax.process_count()`` here would initialize the backend and make the
+    subsequent ``jax.distributed.initialize`` raise ("must be called before
+    any JAX calls") — a real-process bug the mocked round-3 tests never
+    saw; caught (and now pinned) by ``tests/test_multiprocess_dcn.py``.
+    """
+    if jax.distributed.is_initialized():
         return  # already initialized
     try:
         jax.distributed.initialize(

@@ -50,7 +50,12 @@ from mrijax.diffusion import (
 from mrijax.io import CheckpointManager
 from mrijax.models import UNet2D, UNet3D, VAE3D
 from mrijax.obs import MetricsLogger, install_signal_handlers
-from mrijax.parallel import broadcast_from_host0, make_mesh, replicated_sharding
+from mrijax.parallel import (
+    broadcast_from_host0,
+    global_put,
+    make_mesh,
+    replicated_sharding,
+)
 from mrijax.train.state import create_train_state
 from mrijax.train.steps import (
     estimate_latent_scale,
@@ -212,10 +217,20 @@ def _init_params(model, *args, seed=0, mesh=None):
     device when mesh is None)."""
     from mrijax.kernels.dispatch import disable_pallas
 
-    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+    # local_devices, not devices: in a multi-process job jax.devices("cpu")[0]
+    # is process 0's device — non-addressable from other ranks (real-process
+    # crash pinned by tests/test_multiprocess_dcn.py). Every process inits
+    # from the same PRNGKey, so host values agree and global_put can place
+    # them without any cross-host broadcast.
+    with jax.default_device(
+        jax.local_devices(backend="cpu")[0]
+    ), disable_pallas():
         params = model.init(jax.random.PRNGKey(seed), *args)
-    target = replicated_sharding(mesh) if mesh is not None else jax.devices()[0]
-    return jax.device_put(params, target)
+    if mesh is not None:
+        # global_put, not device_put: multi-process placement from identical
+        # host values (see parallel.mesh.global_put)
+        return global_put(params, replicated_sharding(mesh))
+    return jax.device_put(params, jax.devices()[0])
 
 
 def _use_fsdp(train_cfg, mesh) -> bool:
@@ -245,7 +260,7 @@ def _place_state_and_step(state, mesh, use_fsdp: bool, train_step,
             mesh, state, min_leaf_elems=min_leaf_elems
         )
         return state, fsdp_step(train_step, shardings)
-    return jax.device_put(state, replicated_sharding(mesh)), train_step
+    return global_put(state, replicated_sharding(mesh)), train_step
 
 
 # ------------------------------------------------------------- 2D / 2.5D
@@ -529,7 +544,7 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
             mesh, ldm_state, min_leaf_elems=cfg.train.fsdp_min_leaf_elems
         )
     else:
-        ldm_state = jax.device_put(ldm_state, replicated_sharding(mesh))
+        ldm_state = global_put(ldm_state, replicated_sharding(mesh))
 
     def _fsdp_wrap(step):
         """Pin the output layout on the RAW step (whose first arg is the
