@@ -124,6 +124,13 @@ class TrainConfig:
                                                # replicated (sharding a bias
                                                # saves nothing, costs a
                                                # collective)
+    grad_accum: int = 1                        # stage-1 VAE only: lax.scan
+                                               # gradient accumulation over
+                                               # batch/grad_accum microbatches
+                                               # — effective batch past the
+                                               # compiler's flagship-size
+                                               # bs=1 fwd+bwd ceiling
+                                               # (PERF.md "Stage-1 VAE")
 
 
 @dataclass

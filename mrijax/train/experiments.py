@@ -417,7 +417,8 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
         mesh, vae_fsdp,
         make_vae_train_step(vae, kl_weight=cfg.vae.kl_weight,
                             nan_guard=cfg.vae_train.nan_guard,
-                            donate=not vae_fsdp),
+                            donate=not vae_fsdp,
+                            grad_accum=cfg.vae_train.grad_accum),
         min_leaf_elems=cfg.vae_train.fsdp_min_leaf_elems,
     )
 

@@ -142,18 +142,77 @@ def vae_loss(recon, x, mu, logvar, kl_weight: float):
 
 
 def make_vae_train_step(vae, *, kl_weight: float = 1e-4, donate: bool = True,
-                        nan_guard: bool = False):
-    """batch: {"volume": (B, D, H, W, C)}."""
+                        nan_guard: bool = False, grad_accum: int = 1):
+    """batch: {"volume": (B, D, H, W, C)}.
+
+    ``grad_accum > 1``: gradient accumulation as a ``lax.scan`` over
+    ``grad_accum`` microbatches of ``B / grad_accum`` volumes, one optimizer
+    update on the averaged gradient. The scan body is traced ONCE at
+    microbatch size, so the compiled fwd+bwd graph stays exactly as large
+    as the microbatch program — the engineering point on this hardware:
+    the flagship-size (128×160×160) VAE fwd+bwd crashes the TPU compiler
+    at batch ≥ 2 even with remat (PERF.md "Stage-1 VAE training"), and
+    accumulation is the only way to raise the effective batch past that
+    ceiling inside one chip. The averaged gradient is mathematically the
+    large-batch gradient: ``vae_loss`` is a mean over its batch, and the
+    mean of equal-size microbatch means IS the full-batch mean (pinned by
+    ``tests/test_grad_accum.py`` against a hand-built per-microbatch
+    oracle). Microbatch a takes the STRIDED rows ``{m * grad_accum + a}``
+    so that under a data mesh every device contributes equally to every
+    microbatch (a contiguous split would route whole microbatches to
+    device subsets and serialize the mesh). Each microbatch reparametrizes
+    with its own fold_in key; ``grad_accum=1`` is bit-identical to the
+    historical single-batch step. The reference has no accumulation — its
+    stage-1 is locked to bs=1 per GPU (`ddpm_3d_ldm/train.py:258-348`).
+    """
 
     def loss_fn(params, x, rng):
         recon, mu, logvar = vae.apply(params, x, rng)
         return vae_loss(recon, x, mu, logvar, kl_weight)
 
+    if grad_accum <= 1:
+        @partial(jax.jit, donate_argnums=(0,) if donate else ())
+        def train_step(state, batch, key):
+            (loss, (recon_loss, kl)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, batch["volume"], key)
+            if nan_guard:
+                state, _ = apply_if_finite(state, grads, loss)
+            else:
+                state = state.apply_gradients(grads=grads)
+            return state, {"loss": loss, "recon": recon_loss, "kl": kl}
+
+        return train_step
+
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, batch, key):
-        (loss, (recon_loss, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch["volume"], key
+        x = batch["volume"]
+        b = x.shape[0]
+        if b % grad_accum:
+            raise ValueError(
+                f"batch size {b} is not divisible by grad_accum={grad_accum}"
+            )
+        micro = b // grad_accum
+        # strided microbatch assignment: row r -> microbatch r % grad_accum
+        xs = jnp.moveaxis(x.reshape(micro, grad_accum, *x.shape[1:]), 1, 0)
+        keys = jax.random.split(key, grad_accum)
+
+        def body(gsum, inp):
+            xm, km = inp
+            (loss, (recon, kl)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, xm, km)
+            gsum = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32), gsum, grads
+            )
+            return gsum, jnp.stack([loss, recon, kl])
+
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
         )
+        gsum, per_micro = jax.lax.scan(body, zeros, (xs, keys))
+        grads = jax.tree.map(lambda g: g / grad_accum, gsum)
+        loss, recon_loss, kl = jnp.mean(per_micro, axis=0)
         if nan_guard:
             state, _ = apply_if_finite(state, grads, loss)
         else:
