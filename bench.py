@@ -62,15 +62,76 @@ else:
     )
 
 _t_phase = time.perf_counter()
+_PHASES = {}  # label -> seconds; feeds the self-attributing JSON fields
 
 
 def _phase(label: str) -> None:
-    """Setup-phase timing to stderr (the JSON contract stays stdout-only):
-    the driver-observed 181 s setup of r2 needed a breakdown to diagnose."""
+    """Setup-phase timing (stderr for humans, ``_PHASES`` for the JSON):
+    the driver-observed 181 s setup of r2 needed a breakdown to diagnose,
+    and r3's lesson was that a breakdown only the stderr log sees cannot
+    distinguish 'builder regressed' from 'worker pool was busy' in the one
+    artifact the driver records — so the headline JSON now carries
+    ``setup_client_secs`` / ``setup_worker_secs`` built from these."""
     global _t_phase
     now = time.perf_counter()
+    _PHASES[label] = now - _t_phase
     print(f"# phase {label}: {now - _t_phase:.1f}s", file=sys.stderr)
     _t_phase = now
+
+
+# --------------------------------------------------- session calibration
+
+_CAL = {}  # merged into every JSON row by _emit
+
+
+def _calibrate_session(dim: int = 8192, iters: int = 16) -> None:
+    """Time a tiny FIXED reference program (a scan of ``iters`` bf16
+    ``dim×dim`` matmuls — ~17.6 TFLOP at the defaults) and stamp its
+    measured TFLOP/s into every JSON row as ``session_tflops``.
+
+    Why: the same warm executable measured 0.368 → 0.142 vol/s across
+    tunnel sessions within one morning (PERF.md "Tunnel-session variance"),
+    and the driver samples ONE session per round — a capture without an
+    in-run speed reference cannot be normalized or even labeled slow/fast.
+    The probe's known-good reading on a healthy v5e session is ~120-190
+    TFLOP/s (w ~ N(0, 1/dim) keeps activations normalized, so the loop is
+    pure MXU); a capture whose ``session_tflops`` sits far below that was
+    taken on a degraded session and its headline should be read with the
+    same discount."""
+    if jax.default_backend() != "tpu":
+        return
+    t0 = time.perf_counter()
+    try:
+        @jax.jit
+        def probe(x, w):
+            def body(c, _):
+                return jnp.dot(c, w), None
+
+            y, _ = jax.lax.scan(body, x, None, length=iters)
+            return y
+
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (dim, dim), jnp.bfloat16)
+        w = (jax.random.normal(jax.random.fold_in(key, 1), (dim, dim),
+                               jnp.float32) / np.sqrt(dim)).astype(jnp.bfloat16)
+        _ = float(probe(x, w).astype(jnp.float32).sum())  # compile + warmup
+        best = None
+        for _i in range(3):
+            t1 = time.perf_counter()
+            _ = float(probe(x, w).astype(jnp.float32).sum())
+            dt = time.perf_counter() - t1
+            best = dt if best is None else min(best, dt)
+        flops = 2.0 * iters * dim ** 3
+        _CAL["session_tflops"] = round(flops / best / 1e12, 1)
+        _CAL["calibration_secs"] = round(time.perf_counter() - t0, 1)
+    except Exception as e:  # calibration must never break the benchmark
+        print(f"# session calibration failed: {e}", file=sys.stderr)
+    _phase("session calibration")
+
+
+def _emit(row: dict) -> None:
+    """Print one JSON result line, stamped with the session calibration."""
+    print(json.dumps({**row, **_CAL}), flush=True)
 
 BASELINE_VOL_PER_S = 0.045  # estimated reference GPU pipeline (see docstring)
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak bf16 (MXU) FLOP/s per chip
@@ -362,7 +423,7 @@ def bench_train_step():
         state, loss = step(state, vae_params, batch, jax.random.fold_in(key, i), 1.0)
         _ = float(loss)
     dt = (time.perf_counter() - t0) / n
-    print(json.dumps({
+    _emit({
         "metric": "3d_ldm_train_step_time",
         "value": round(dt, 4),
         "unit": "sec/step (bs=1 volume 128x160x160x4, frozen-VAE encode + min-SNR + Adam)",
@@ -370,7 +431,7 @@ def bench_train_step():
         "steps_per_s": round(1.0 / dt, 3),
         "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
         "mfu": _mfu(step_flops, dt),
-    }))
+    })
 
 
 def bench_train_step_cached(batch: int = 32, remat: bool = False,
@@ -442,7 +503,7 @@ def bench_train_step_cached(batch: int = 32, remat: bool = False,
         f", remat levels {remat_levels}" if remat_levels is not None
         else (", remat" if remat else "")
     )
-    print(json.dumps({
+    _emit({
         "metric": "3d_ldm_cached_train_throughput",
         "value": round(batch / dt, 3),
         "unit": (
@@ -453,7 +514,7 @@ def bench_train_step_cached(batch: int = 32, remat: bool = False,
         "sec_per_step": round(dt, 4),
         "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
         "mfu": _mfu(step_flops, dt),
-    }), flush=True)
+    })
 
 
 def bench_train_cached_sweep():
@@ -474,24 +535,27 @@ def bench_train_cached_sweep():
             bench_train_step_cached(batch=batch, remat=remat,
                                     remat_levels=levels)
         except Exception as e:
-            print(json.dumps({
+            _emit({
                 "metric": "3d_ldm_cached_train_throughput",
                 "batch": batch, "remat": remat,
                 "remat_levels": list(levels) if levels else None,
                 "value": None, "error": str(e)[:200],
-            }), flush=True)
+            })
         _phase(f"cached sweep b{batch} remat={remat} levels={levels}")
 
 
-def bench_train_vae(batch: int = 1, remat: bool = True):
+def bench_train_vae(batch: int = 1, remat: bool = True, grad_accum: int = 1):
     """Stage-1 VAE train step (``--train-vae``): L1 + 1e-4·KL on full-res
     (128×160×160×4) volumes → grad → Adam, one compiled program — the
     reference's stage-1 hot loop (`ddpm_3d_ldm/train.py:258-348`, bs=1 per
     GPU). ``remat=True`` is the shipped (and only viable) flagship-size
     mode: the un-rematerialized fwd+bwd program crashes the TPU compiler
     at 128×160×160 (worker compile-helper exit 1; it compiles fine at
-    96×128×128 and below — PERF.md). ``--train-vae-sweep`` ladders batch
-    sizes in one session."""
+    96×128×128 and below — PERF.md). ``grad_accum=k`` scans k microbatches
+    of ``batch/k`` volumes inside the step (one optimizer update on the
+    averaged gradient) — the only route past the compiler's batch-≥2
+    ceiling, since the scan body is traced at microbatch size.
+    ``--train-vae-sweep`` ladders batch/accum configs in one session."""
     import numpy as np
 
     from mrijax.models import VAE3D
@@ -511,7 +575,7 @@ def bench_train_vae(batch: int = 1, remat: bool = True):
     # keeping a second (non-donated) train state alive OOMs the second
     # invocation (localized r3: first step + readback fine, second step
     # RESOURCE_EXHAUSTED)
-    step = make_vae_train_step(vae, donate=True)
+    step = make_vae_train_step(vae, donate=True, grad_accum=grad_accum)
     batch_d = {
         "volume": jax.device_put(
             np.random.default_rng(0)
@@ -524,9 +588,14 @@ def bench_train_vae(batch: int = 1, remat: bool = True):
 
     # same module, donation off (CPU lowering for analysis only); return
     # the FULL (state, metrics) so XLA cannot dead-code-eliminate the
-    # gradient/Adam part out of the cost analysis
+    # gradient/Adam part out of the cost analysis. NOTE: cost analysis
+    # counts the accumulation scan body ONCE — scale by grad_accum and add
+    # nothing for the update (Adam is noise next to the conv fwd+bwd).
     step_analysis = make_vae_train_step(vae, donate=False)
-    step_flops = _flops_of(step_analysis, state, batch_d, key)
+    micro_d = {"volume": jnp.zeros(
+        (batch // grad_accum, *VOLUME_SHAPE, 4), jnp.bfloat16)}
+    micro_flops = _flops_of(step_analysis, state, micro_d, key)
+    step_flops = micro_flops * grad_accum if micro_flops else None
 
     state, metrics = step(state, batch_d, key)
     _ = float(metrics["loss"])
@@ -536,37 +605,52 @@ def bench_train_vae(batch: int = 1, remat: bool = True):
         state, metrics = step(state, batch_d, jax.random.fold_in(key, i))
         _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / n
-    print(json.dumps({
+    _emit({
         "metric": "vae3d_train_throughput",
         "value": round(batch / dt, 3),
         "unit": (
             f"volumes/sec trained (batch {batch} full-res 128x160x160x4, "
-            f"L1+KL + Adam{', remat' if remat else ''})"
+            f"L1+KL + Adam{', remat' if remat else ''}"
+            + (f", grad_accum {grad_accum}" if grad_accum > 1 else "") + ")"
         ),
         "vs_baseline": None,
         "sec_per_step": round(dt, 4),
         "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
         "mfu": _mfu(step_flops, dt),
-    }), flush=True)
+    })
 
 
 def bench_train_vae_sweep():
     """Same-session ladder of the stage-1 VAE step
     (``--train-vae-sweep``). Measured reality at the flagship patch size
-    (PERF.md): batch 1 + remat is the ONLY config the TPU compiler
-    accepts — batch ≥2 (with or without remat) and batch 1 without remat
-    all crash the worker compile helper — so the sweep runs the viable
-    config first and keeps the two crash probes as documentation."""
-    configs = [(1, True), (2, True), (1, False)]
-    for batch, remat in configs:
+    (PERF.md): batch 1 + remat is the ONLY monolithic config the TPU
+    compiler accepts — batch ≥2 (with or without remat) and batch 1
+    without remat all crash the worker compile helper. The grad_accum rows
+    raise EFFECTIVE batch through a lax.scan whose body stays at the
+    compiling bs=1 shape (r3 verdict item #2); the two crash probes stay
+    as documentation."""
+    configs = [
+        # (batch, remat, grad_accum)
+        (1, True, 1),     # shipped r3 config
+        (4, True, 4),     # effective batch 4, bs=1 microbatches
+        (8, True, 8),     # effective batch 8
+        (8, True, 4),     # bs=2 microbatches — does the compiler take the
+                          # scan body at bs=2 even though monolithic bs=2
+                          # crashes? (graph size, not tensor size, is the
+                          # suspected killer)
+        (2, True, 1),     # crash probe: monolithic bs=2
+        (1, False, 1),    # crash probe: no remat
+    ]
+    for batch, remat, accum in configs:
         try:
-            bench_train_vae(batch=batch, remat=remat)
+            bench_train_vae(batch=batch, remat=remat, grad_accum=accum)
         except Exception as e:
-            print(json.dumps({
+            _emit({
                 "metric": "vae3d_train_throughput", "batch": batch,
-                "remat": remat, "value": None, "error": str(e)[:200],
-            }), flush=True)
-        _phase(f"vae sweep b{batch} remat={remat}")
+                "remat": remat, "grad_accum": accum, "value": None,
+                "error": str(e)[:200],
+            })
+        _phase(f"vae sweep b{batch} remat={remat} accum={accum}")
 
 
 def bench_train_2d(context: bool = False):
@@ -627,7 +711,7 @@ def bench_train_2d(context: bool = False):
         _ = float(loss)
     dt = (time.perf_counter() - t0) / n
     fam = "ddpm_25d" if context else "slice_cond_2d"
-    print(json.dumps({
+    _emit({
         "metric": f"{fam}_train_step_time",
         "value": round(dt, 4),
         "unit": (
@@ -639,7 +723,7 @@ def bench_train_2d(context: bool = False):
         "images_per_s": round(bs / dt, 1),
         "step_tflops": round(step_flops / 1e12, 2) if step_flops else None,
         "mfu": _mfu(step_flops, dt),
-    }))
+    })
 
 
 def bench_sample_2d(steps: int = None, sampler: str = "ddim"):
@@ -705,7 +789,7 @@ def bench_sample_2d(steps: int = None, sampler: str = "ddim"):
     dt = (time.perf_counter() - t0) / n
     mode = (f"{sampler}-{steps}" if steps is not None
             else f"ancestral T={T} (reference protocol)")
-    print(json.dumps({
+    _emit({
         "metric": "slice_cond_2d_sampling_throughput",
         "value": round(bs / dt, 2),
         "unit": f"slices/sec/chip (batch {bs} @ {size}², {mode})",
@@ -713,7 +797,7 @@ def bench_sample_2d(steps: int = None, sampler: str = "ddim"):
         "secs_per_batch": round(dt, 3),
         "pipeline_tflops": round(total_flops / 1e12, 1) if total_flops else None,
         "mfu": _mfu(total_flops, dt),
-    }), flush=True)
+    })
 
 
 def bench_sweep():
@@ -781,18 +865,25 @@ def bench_sweep():
             vol = fn(unet_params, vae_params, jax.random.fold_in(rng, i))
             _ = float(jnp.asarray(vol, jnp.float32).mean())
         dt = (time.perf_counter() - t0) / n
-        print(json.dumps({
+        _emit({
             "metric": "3d_ldm_sampling_sweep",
             "batch": batch, "decode_chunk": chunk, "ddim_steps": steps,
             "sampler": sampler,
             "value": round(batch / dt, 4),
             "unit": "volumes/sec/chip",
             "secs_per_volume": round(dt / batch, 3),
-        }), flush=True)
+        })
 
 
 def main():
     import sys
+
+    # session speed reference FIRST: every JSON row (all modes) carries
+    # session_tflops so captures are normalizable across the ~2.5× tunnel
+    # session variance (PERF.md). Runs before t_setup, so the headline's
+    # setup_secs keeps its historical meaning; the probe's own cost is
+    # reported separately as calibration_secs.
+    _calibrate_session()
 
     if "--sweep" in sys.argv:
         bench_sweep()
@@ -855,21 +946,28 @@ def main():
     dt = (time.perf_counter() - t0) / n_runs
 
     vols_per_s = BATCH / dt
-    print(
-        json.dumps(
-            {
-                "metric": "3d_ldm_volume_sampling_throughput",
-                "value": round(vols_per_s, 5),
-                "unit": f"volumes/sec/chip (T=400 DDIM + VAE decode, batch {BATCH}, 128x160x160x4 out)",
-                "vs_baseline": round(vols_per_s / BASELINE_VOL_PER_S, 3),
-                "secs_per_volume": round(dt / BATCH, 3),
-                "setup_secs": round(setup_s, 1),
-                "pipeline_tflops": (
-                    round(pipeline_flops / 1e12, 1) if pipeline_flops else None
-                ),
-                "mfu": _mfu(pipeline_flops, dt),
-            }
-        )
+    # self-attributing setup (r3 verdict Weak #1): the warmup-run phase is
+    # the worker-side XLA compile + first execution (46 s typical, 133-286 s
+    # on a busy/rotated worker pool — not client-fixable); everything before
+    # it is client-side work this repo owns. Splitting the two in the JSON
+    # lets the driver's one recorded number distinguish a builder regression
+    # from a busy worker pool.
+    worker_s = _PHASES.get("warmup run", 0.0)
+    _emit(
+        {
+            "metric": "3d_ldm_volume_sampling_throughput",
+            "value": round(vols_per_s, 5),
+            "unit": f"volumes/sec/chip (T=400 DDIM + VAE decode, batch {BATCH}, 128x160x160x4 out)",
+            "vs_baseline": round(vols_per_s / BASELINE_VOL_PER_S, 3),
+            "secs_per_volume": round(dt / BATCH, 3),
+            "setup_secs": round(setup_s, 1),
+            "setup_client_secs": round(setup_s - worker_s, 1),
+            "setup_worker_secs": round(worker_s, 1),
+            "pipeline_tflops": (
+                round(pipeline_flops / 1e12, 1) if pipeline_flops else None
+            ),
+            "mfu": _mfu(pipeline_flops, dt),
+        }
     )
 
 
