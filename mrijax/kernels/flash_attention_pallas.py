@@ -15,10 +15,12 @@ attention to the 800-token bottleneck (full-latent N = 51 200 works):
 
 Backward pass: fused Pallas kernels in the standard flash-bwd form — the
 forward additionally saves the per-row logsumexp; the backward recomputes
-p = exp(s − lse) blockwise and accumulates
-dV = pᵀ dO, dS = p∘(dO Vᵀ − Δ)·scale (Δ = rowsum(dO∘O)), dK = dSᵀ Q,
-dQ = dS K over two passes (KV-major for dK/dV, Q-major for dQ). O(N·block)
-memory like the forward; fp32 accumulators; padded rows/cols masked.
+p = exp(u − lse) blockwise (u = q′kᵀ with q′ = q·Dh^-1/2 pre-scaled) and
+accumulates dV = pᵀ dO, dU = p∘(dO Vᵀ − Δ) (Δ = rowsum(dO∘O)), dK = dUᵀ q′,
+dQ = scale·dU K over two passes (KV-major for dK/dV, Q-major for dQ).
+O(N·block) memory like the forward; fp32 accumulators; padded rows/cols
+masked (the mask — and at Dh=32 its measurable per-logit VPU cost — is
+compiled out when N is block-aligned, as at the tuned N=51 200 shape).
 """
 
 import functools
@@ -55,7 +57,14 @@ BWD_BLOCK_K = 512
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                  *, n, scale):
+                  *, n, padded):
+    """Kernel body. ``q`` arrives PRE-SCALED by Dh^-1/2 (folded once into
+    the (N, Dh) tensor outside the kernel instead of one VPU multiply per
+    logit — at Dh=32 the kernel is VPU-co-bound, see PERF.md "Flash
+    attention"), and ``padded`` is a TRACE-TIME constant: when N is a
+    multiple of the blocks (true for the tuned N=51 200 shape) the tail
+    mask — an iota + compare + select per logit — is compiled out
+    entirely."""
     kv_idx = pl.program_id(2)
     block_k = k_ref.shape[1]
 
@@ -79,12 +88,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec,
-    ) * scale  # (BLOCK_Q, BLOCK_K)
+    )  # (BLOCK_Q, BLOCK_K), scale already folded into q
 
-    # Mask padded KV positions (tail block only).
-    kv_start = kv_idx * block_k
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-    s = jnp.where(kv_start + col < n, s, NEG_INF)
+    if padded:
+        # Mask padded KV positions (tail block only).
+        kv_start = kv_idx * block_k
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(kv_start + col < n, s, NEG_INF)
 
     m_prev = m_scr[:, :1]  # (BLOCK_Q, 1)
     l_prev = l_scr[:, :1]
@@ -138,14 +148,19 @@ def _flash_forward_lse(q, k, v, block_q=BLOCK_Q, block_k=BLOCK_K):
     block_q, block_k = _pick_blocks(n, block_q, block_k)
     scale = d ** -0.5
 
-    qf, kf, vf = _to_bh(q), _to_bh(k), _to_bh(v)
+    # scale folded into q ONCE (an (N, Dh) multiply) instead of per logit
+    # (an (N, N) multiply inside the kernel); for bf16 inputs the fold is
+    # computed in fp32 then rounded — the same rounding class as the bf16
+    # MXU pass itself
+    qf = _to_bh((q.astype(jnp.float32) * scale).astype(q.dtype))
+    kf, vf = _to_bh(k), _to_bh(v)
     np_ = n + ((-n) % max(block_q, block_k))
     if np_ != n:
         qf, kf, vf = (_pad_n(x, np_) for x in (qf, kf, vf))
     grid = (b * h, np_ // block_q, np_ // block_k)
 
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, n=n, scale=scale),
+        functools.partial(_flash_kernel, n=n, padded=np_ != n),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
@@ -187,20 +202,25 @@ def _bwd_masks(q_start, k_start, bq, bk, n):
     return (row < n).astype(jnp.float32), (col < n)
 
 
-def _p_block(q, k, lse, q_start, k_start, n, scale, prec):
-    """Recompute the (bq, bk) probability block from saved lse; padded rows
-    and columns are zeroed."""
+def _p_block(q, k, lse, q_start, k_start, n, padded, prec):
+    """Recompute the (bq, bk) probability block from saved lse (``q``
+    pre-scaled, so no per-logit scale multiply); padded rows and columns
+    are zeroed — compiled out when ``padded`` is False."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
-    ) * scale
-    row_mask, col_mask = _bwd_masks(q_start, k_start, q.shape[0], k.shape[0], n)
-    p = jnp.exp(s - lse) * row_mask
-    return jnp.where(col_mask, p, 0.0)
+    )
+    p = jnp.exp(s - lse)
+    if padded:
+        row_mask, col_mask = _bwd_masks(
+            q_start, k_start, q.shape[0], k.shape[0], n
+        )
+        p = jnp.where(col_mask, p * row_mask, 0.0)
+    return p
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr, *, n, scale):
+                dk_ref, dv_ref, dk_scr, dv_scr, *, n, padded):
     ki, qi = pl.program_id(1), pl.program_id(2)
     bq, bk = q_ref.shape[1], k_ref.shape[1]
 
@@ -209,7 +229,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled q'
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)
@@ -218,19 +238,20 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else
             jax.lax.Precision.DEFAULT)
 
-    p = _p_block(q, k, lse, qi * bq, ki * bk, n, scale, prec)  # (bq, bk)
+    p = _p_block(q, k, lse, qi * bq, ki * bk, n, padded, prec)  # (bq, bk)
     # dV += pᵀ dO
     dv_scr[:] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
-    # dS = p ∘ (dO Vᵀ − Δ) · scale
+    # dU = p ∘ (dO Vᵀ − Δ)  — the gradient wrt the SCALED logits u = q'kᵀ;
+    # no per-logit scale multiply anywhere in the backward either
     dp = jax.lax.dot_general(
         do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     )
-    ds = p * (dp - delta) * scale
-    # dK += dSᵀ Q
+    ds = p * (dp - delta)
+    # dK += dUᵀ q'  (u = q'kᵀ, so ∂u/∂k carries the scale via q')
     dk_scr[:] += jax.lax.dot_general(
         ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
@@ -243,7 +264,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, dq_scr, *, n, scale):
+               dq_ref, dq_scr, *, n, padded):
     qi, ki = pl.program_id(1), pl.program_id(2)
     bq, bk = q_ref.shape[1], k_ref.shape[1]
 
@@ -251,7 +272,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled q'
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)
@@ -260,12 +281,14 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else
             jax.lax.Precision.DEFAULT)
 
-    p = _p_block(q, k, lse, qi * bq, ki * bk, n, scale, prec)
+    p = _p_block(q, k, lse, qi * bq, ki * bk, n, padded, prec)
     dp = jax.lax.dot_general(
         do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     )
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta)
+    # accumulates dq' = dU k; the outer wrapper multiplies by scale once
+    # (dq = scale · dU k, chain rule through q' = scale·q)
     dq_scr[:] += jax.lax.dot_general(
         ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
@@ -283,7 +306,9 @@ def _flash_backward(q, k, v, out, lse, g, block_q=BWD_BLOCK_Q,
     block_q, block_k = _pick_blocks(n, block_q, block_k)
     scale = d ** -0.5
 
-    qf, kf, vf = _to_bh(q), _to_bh(k), _to_bh(v)
+    # same pre-scaled q' the forward used (the saved lse is in q'k units)
+    qf = _to_bh((q.astype(jnp.float32) * scale).astype(q.dtype))
+    kf, vf = _to_bh(k), _to_bh(v)
     of, gf = _to_bh(out), _to_bh(g)
     # Δ = rowsum(dO ∘ O), fp32
     delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
@@ -303,8 +328,9 @@ def _flash_backward(q, k, v, out, lse, g, block_q=BWD_BLOCK_Q,
                          memory_space=pltpu.VMEM)
     r1q = pl.BlockSpec((1, block_q, 1), lambda i, a, b_: (i, b_, 0),
                        memory_space=pltpu.VMEM)
+    padded = np_ != n
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, n=n, scale=scale),
+        functools.partial(_dkv_kernel, n=n, padded=padded),
         grid=(bh, nk, nq),
         in_specs=[qspec, kspec, kspec, qspec, r1q, r1q],
         out_specs=(
@@ -330,7 +356,7 @@ def _flash_backward(q, k, v, out, lse, g, block_q=BWD_BLOCK_Q,
     r1q2 = pl.BlockSpec((1, block_q, 1), lambda i, a, b_: (i, a, 0),
                         memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, n=n, scale=scale),
+        functools.partial(_dq_kernel, n=n, padded=padded),
         grid=(bh, nq, nk),
         in_specs=[qspec2, kspec2, kspec2, qspec2, r1q2, r1q2],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, a, b_: (i, a, 0),
@@ -339,7 +365,9 @@ def _flash_backward(q, k, v, out, lse, g, block_q=BWD_BLOCK_Q,
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
     )(qf, kf, vf, gf, lse, delta)
 
-    return (_from_bh(dq[:, :n], b, h), _from_bh(dk[:, :n], b, h),
+    # dq' -> dq: one (N, Dh) multiply, in fp32 before the output cast
+    dq = (dq[:, :n].astype(jnp.float32) * scale).astype(q.dtype)
+    return (_from_bh(dq, b, h), _from_bh(dk[:, :n], b, h),
             _from_bh(dv[:, :n], b, h))
 
 

@@ -74,3 +74,34 @@ def test_pallas_fwd_and_bwd_match_xla_interpret():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_unpadded_path_matches_xla_interpret():
+    """Block-aligned N compiles the tail masks OUT of both the forward and
+    the backward kernels (the Dh=32 VPU-cost fix, PERF.md "Flash
+    attention") — this pins that the mask-free branch is still the same
+    math. n=256 -> one 256-wide block, np_ == n, padded=False everywhere."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mrijax.kernels.flash_attention_pallas import flash_attention_pallas
+
+    q, k, v = _rand_qkv(jax.random.key(4), b=1, n=256, h=2, d=16)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_attention_pallas(q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_chunked_attention_xla(q, k, v, q_chunk=128) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        out_p = flash_attention_pallas(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(_chunked_attention_xla(q, k, v)),
+        rtol=1e-5, atol=1e-5,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
