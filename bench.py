@@ -726,6 +726,161 @@ def bench_train_2d(context: bool = False):
     })
 
 
+def bench_train_2d_profile():
+    """Attribution of the 2D train step's MFU (``--train-2d-profile``,
+    r3 verdict item #4: 18.8% MFU with no breakdown). One session, one
+    JSON row per measurement:
+
+    - ``per_step_readback``: the historical --train-2d protocol (a
+      float(loss) sync every step — includes one ~50-100 ms tunnel round
+      trip per step, which a real training loop does NOT pay);
+    - ``chained``: 20 steps enqueued, ONE readback — the honest per-chip
+      number a logging-every-N training loop sees;
+    - ``fwd_only`` / ``fwd_bwd``: the loss forward alone and
+      value_and_grad alone (no optimizer), chained — the residual vs
+      ``chained`` is Adam + dispatch;
+    - ``chained_b128``: double batch (MXU-fill lever);
+    - ``chained_pallas_off``: Pallas kernels disabled end-to-end — with the
+      r3 dispatch-on-differentiation fix the train path already runs XLA
+      GN under grad, so this row should EQUAL ``chained`` (the A/B the r3
+      verdict item #3 asked for).
+    """
+    import numpy as np
+
+    from mrijax.diffusion import GaussianDiffusion, linear_beta_schedule, make_schedule
+    from mrijax.kernels.dispatch import disable_pallas
+    from mrijax.models import UNet2D
+    from mrijax.train import create_train_state
+    from mrijax.train.steps import make_diffusion_train_step
+
+    size = 128
+    model = UNet2D(in_channels=1, out_channels=1, base_channels=64,
+                   channel_mults=(1, 2, 4, 8), dtype=jnp.bfloat16)
+    diffusion = GaussianDiffusion(
+        make_schedule(linear_beta_schedule(1000)), loss_type="mse"
+    )
+    params = _init_on_cpu(
+        model, jnp.zeros((1, 16, 16, 1), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
+    )
+    state = jax.device_put(create_train_state(params, 2e-4), jax.devices()[0])
+    step = make_diffusion_train_step(model, diffusion, donate=False)
+
+    def make_batch(bs):
+        rng = np.random.default_rng(0)
+        return {
+            "image": jax.device_put(
+                rng.normal(size=(bs, size, size, 1)).astype(np.float32)),
+            "z_pos": jax.device_put(
+                rng.uniform(size=(bs,)).astype(np.float32)),
+        }
+
+    key = jax.random.PRNGKey(0)
+
+    def emit(name, dt, flops, bs, extra=None):
+        _emit({
+            "metric": "slice_cond_2d_train_profile", "measurement": name,
+            "value": round(dt, 4), "unit": f"sec/step (bs={bs}, 128x128x1)",
+            "vs_baseline": None,
+            "images_per_s": round(bs / dt, 1),
+            "step_tflops": round(flops / 1e12, 2) if flops else None,
+            "mfu": _mfu(flops, dt), **(extra or {}),
+        })
+
+    def chained(fn, carry_state, batch, n=20):
+        """Enqueue n dependent steps, one readback at the end."""
+        s = carry_state
+        s, loss = fn(s, batch, key)
+        _ = float(loss)  # compile + warmup
+        t0 = time.perf_counter()
+        for i in range(n):
+            s, loss = fn(s, batch, jax.random.fold_in(key, i))
+        _ = float(loss)
+        return (time.perf_counter() - t0) / n
+
+    # ---- bs=64 protocol rows
+    bs = 64
+    batch = make_batch(bs)
+    step_flops = _flops_of(lambda s, b, k: step(s, b, k), state, batch, key)
+
+    state2, loss = step(state, batch, key)
+    _ = float(loss)
+    n = 6
+    t0 = time.perf_counter()
+    for i in range(n):
+        state2, loss = step(state2, batch, jax.random.fold_in(key, i))
+        _ = float(loss)
+    emit("per_step_readback", (time.perf_counter() - t0) / n, step_flops, bs)
+    _phase("profile: per-step readback")
+
+    emit("chained", chained(step, state, batch), step_flops, bs)
+    _phase("profile: chained")
+
+    # forward loss only (same RNG plumbing, no grad)
+    from mrijax.train.steps import sample_timesteps
+
+    @jax.jit
+    def fwd_only(params, batch, k):
+        tkey, nkey = jax.random.split(k)
+        b = batch["image"].shape[0]
+        t = sample_timesteps(tkey, b, diffusion.timesteps, 0)
+        noise = jax.random.normal(nkey, batch["image"].shape, jnp.float32)
+
+        def model_fn(x, tt):
+            return model.apply(params, x, tt, batch["z_pos"])
+
+        return diffusion.p_losses(model_fn, batch["image"], t, noise)
+
+    fwd_flops = _flops_of(fwd_only, state.params, batch, key)
+    _ = float(fwd_only(state.params, batch, key))
+    t0 = time.perf_counter()
+    for i in range(20):
+        loss = fwd_only(state.params, batch, jax.random.fold_in(key, i))
+    _ = float(loss)
+    emit("fwd_only", (time.perf_counter() - t0) / 20, fwd_flops, bs)
+    _phase("profile: fwd only")
+
+    @jax.jit
+    def fwd_bwd(params, batch, k):
+        def loss_fn(p):
+            tkey, nkey = jax.random.split(k)
+            b = batch["image"].shape[0]
+            t = sample_timesteps(tkey, b, diffusion.timesteps, 0)
+            noise = jax.random.normal(nkey, batch["image"].shape, jnp.float32)
+
+            def model_fn(x, tt):
+                return model.apply(p, x, tt, batch["z_pos"])
+
+            return diffusion.p_losses(model_fn, batch["image"], t, noise)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    vag_flops = _flops_of(fwd_bwd, state.params, batch, key)
+    loss, grads = fwd_bwd(state.params, batch, key)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for i in range(20):
+        loss, grads = fwd_bwd(state.params, batch, jax.random.fold_in(key, i))
+    _ = float(loss)
+    emit("fwd_bwd", (time.perf_counter() - t0) / 20, vag_flops, bs)
+    _phase("profile: fwd+bwd")
+
+    # ---- levers
+    b128 = make_batch(128)
+    flops128 = _flops_of(lambda s, b, k: step(s, b, k), state, b128, key)
+    emit("chained_b128", chained(step, state, b128), flops128, 128)
+    _phase("profile: chained b128")
+
+    # fresh step fn: the dispatch flag is consulted at TRACE time and the
+    # cached bs-64 executable above was traced with Pallas enabled — a new
+    # make_* call gives a new jit cache, traced inside the disable window
+    step_off = make_diffusion_train_step(model, diffusion, donate=False)
+    with disable_pallas():
+        emit("chained_pallas_off", chained(step_off, state, batch),
+             step_flops, bs)
+    _phase("profile: chained pallas off")
+
+
 def bench_sample_2d(steps: int = None, sampler: str = "ddim"):
     """2D slice sampling throughput (``--sample-2d``): batch-64 generation
     at 128², one compiled scan — the loop that dominates the reference's
@@ -920,6 +1075,9 @@ def main():
                 "reference protocol)"
             )
         bench_sample_2d(steps=steps, sampler=sampler)
+        return
+    if "--train-2d-profile" in sys.argv:
+        bench_train_2d_profile()
         return
     if "--train-2d" in sys.argv:
         bench_train_2d(context=False)
