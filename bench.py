@@ -102,23 +102,28 @@ def _calibrate_session(dim: int = 8192, iters: int = 16) -> None:
         return
     t0 = time.perf_counter()
     try:
+        # ONE bare matmul program (compiles in seconds even on a cold
+        # tunnel worker — the first scan-based probe cost a 60 s worker
+        # compile, defeating its own purpose); the iteration is
+        # python-chained async dispatches with a single readback, so the
+        # measured window is still `iters` back-to-back MXU passes.
         @jax.jit
         def probe(x, w):
-            def body(c, _):
-                return jnp.dot(c, w), None
-
-            y, _ = jax.lax.scan(body, x, None, length=iters)
-            return y
+            return jnp.dot(x, w)
 
         key = jax.random.PRNGKey(0)
         x = jax.random.normal(key, (dim, dim), jnp.bfloat16)
         w = (jax.random.normal(jax.random.fold_in(key, 1), (dim, dim),
                                jnp.float32) / np.sqrt(dim)).astype(jnp.bfloat16)
-        _ = float(probe(x, w).astype(jnp.float32).sum())  # compile + warmup
+        y = probe(x, w)
+        _ = float(y.astype(jnp.float32).sum())  # compile + warmup
         best = None
         for _i in range(3):
             t1 = time.perf_counter()
-            _ = float(probe(x, w).astype(jnp.float32).sum())
+            y = x
+            for _j in range(iters):
+                y = probe(y, w)
+            _ = float(y.astype(jnp.float32).sum())
             dt = time.perf_counter() - t1
             best = dt if best is None else min(best, dt)
         flops = 2.0 * iters * dim ** 3
