@@ -196,7 +196,9 @@ def build_slice_sampler(
     ch = cfg.unet.out_channels
     shape = (num_samples, s, s, ch)
 
-    with jax.default_device(jax.devices("cpu")[0]):
+    from mrijax.kernels.dispatch import disable_pallas
+
+    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
         params_t = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, s, s, ch)),
             jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),

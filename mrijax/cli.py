@@ -194,7 +194,9 @@ def cmd_sample(args):
         model = build_unet2d(cfg.unet)
         x_ch = cfg.unet.out_channels  # denoised channels
         ctx_ch = cfg.unet.in_channels - x_ch
-        with jax.default_device(jax.devices("cpu")[0]):
+        from mrijax.kernels.dispatch import disable_pallas
+
+        with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
             zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if ctx_ch else ()
             template = create_train_state(
                 model.init(
@@ -276,7 +278,9 @@ def cmd_sample(args):
         vae = build_vae3d(cfg.vae)
         unet = build_unet3d(cfg.unet)
         unet_init = build_unet3d(cfg.unet, use_flash=False)
-        with jax.default_device(jax.devices("cpu")[0]):
+        from mrijax.kernels.dispatch import disable_pallas
+
+        with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
             vae_template = create_train_state(
                 vae.init(key, jnp.zeros((1, 16, 16, 16, cfg.vae.in_channels)),
                          jax.random.PRNGKey(1)),
@@ -374,7 +378,9 @@ def cmd_eval(args):
     is_25d = cfg.family == "ddpm_25d"
     x_ch = cfg.unet.out_channels
     ctx_ch = cfg.unet.in_channels - x_ch
-    with jax.default_device(jax.devices("cpu")[0]):
+    from mrijax.kernels.dispatch import disable_pallas
+
+    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
         zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if is_25d else ()
         template = create_train_state(
             model.init(key, jnp.zeros((1, s, s, x_ch)),
@@ -715,7 +721,9 @@ def cmd_import_torch(args):
     s = cfg.data.image_size
     x_ch = cfg.unet.out_channels
     ctx_ch = cfg.unet.in_channels - x_ch
-    with jax.default_device(jax.devices("cpu")[0]):
+    from mrijax.kernels.dispatch import disable_pallas
+
+    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
         zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if ctx_ch else ()
         ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, x_ch)),
                          jnp.zeros((1,), jnp.int32), jnp.zeros((1,)), *zeros_ctx)
@@ -776,7 +784,9 @@ def _import_torch_3d(args, cfg):
     # shape sanity against the config's models (same guard as the 2D path)
     vae = build_vae3d(cfg.vae)
     unet = build_unet3d(cfg.unet, use_flash=False)
-    with jax.default_device(jax.devices("cpu")[0]):
+    from mrijax.kernels.dispatch import disable_pallas
+
+    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
         vae_ref = vae.init(
             jax.random.PRNGKey(0),
             jnp.zeros((1, 16, 16, 16, cfg.vae.in_channels)),
@@ -843,7 +853,9 @@ def cmd_export(args):
         model = build_unet2d(cfg.unet)
         x_ch = cfg.unet.out_channels
         ctx_ch = cfg.unet.in_channels - x_ch
-        with jax.default_device(jax.devices("cpu")[0]):
+        from mrijax.kernels.dispatch import disable_pallas
+
+        with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
             zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if ctx_ch else ()
             template = create_train_state(
                 model.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, x_ch)),
@@ -861,7 +873,9 @@ def cmd_export(args):
     elif cfg.family == "ddpm_3d_ldm":
         vae = build_vae3d(cfg.vae)
         unet_init = build_unet3d(cfg.unet, use_flash=False)
-        with jax.default_device(jax.devices("cpu")[0]):
+        from mrijax.kernels.dispatch import disable_pallas
+
+        with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
             vae_template = create_train_state(
                 vae.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, 16, 16, 16, cfg.vae.in_channels)),
@@ -907,7 +921,9 @@ def cmd_export_aot(args):
         # latent_scale travels in the ldm checkpoint's extra and is baked
         # into the program (a scalar constant, unlike the weight trees)
         unet_init = build_unet3d(cfg.unet, use_flash=False)
-        with jax.default_device(jax.devices("cpu")[0]):
+        from mrijax.kernels.dispatch import disable_pallas
+
+        with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
             template = create_train_state(
                 unet_init.init(
                     jax.random.PRNGKey(0),

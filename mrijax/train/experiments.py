@@ -186,9 +186,18 @@ def _build_2d_dataset(cfg: ExperimentConfig):
 
 
 def _trainer(cfg_train: TrainConfig, *, ckpt_dir, logger, train_step, eval_step,
-             train_loader, val_loader, prefix="", extra=None) -> Trainer:
+             train_loader, val_loader, prefix="", extra=None,
+             root=None) -> Trainer:
+    """``root`` overrides ``cfg_train.checkpoint_dir`` as the checkpoint
+    tree base. The 3D two-stage experiment passes ``cfg.train.checkpoint_dir``
+    for BOTH stages: a run is ONE directory (config.json, vae/, ldm/,
+    latent_cache/ — what `sample`/`export`/resume read), and rooting stage 1
+    at ``vae_train.checkpoint_dir`` instead silently split the run across
+    two trees when only ``train.checkpoint_dir`` was overridden — worse, a
+    rerun then RESUMED stage 1 from the stale default-dir checkpoint and
+    reported success after 0 epochs (found by the r4 TPU CLI smoke run)."""
     ckpt = CheckpointManager(
-        Path(cfg_train.checkpoint_dir) / ckpt_dir,
+        Path(root or cfg_train.checkpoint_dir) / ckpt_dir,
         max_to_keep=cfg_train.max_checkpoints,
     )
     return Trainer(
@@ -427,6 +436,7 @@ def train_ddpm_3d_ldm(cfg: ExperimentConfig, mesh=None, logger=None):
         train_step=vae_step,
         eval_step=make_vae_eval_step(vae, kl_weight=cfg.vae.kl_weight),
         train_loader=train_loader, val_loader=val_loader, prefix="vae_",
+        root=cfg.train.checkpoint_dir,  # one run = one directory tree
     )
     with mesh:
         vae_result = vae_trainer.fit(vae_state)
