@@ -102,31 +102,33 @@ def _calibrate_session(dim: int = 8192, iters: int = 16) -> None:
         return
     t0 = time.perf_counter()
     try:
-        # ONE bare matmul program (compiles in seconds even on a cold
-        # tunnel worker — the first scan-based probe cost a 60 s worker
-        # compile, defeating its own purpose); the iteration is
-        # python-chained async dispatches with a single readback, so the
-        # measured window is still `iters` back-to-back MXU passes.
+        # ONE self-contained program: input generation + `iters` unrolled
+        # chained matmuls + the readback reduction. Measured reality of the
+        # tunnel (r4): the worker-compile round trip costs ~30-50 s largely
+        # INDEPENDENT of program size — a scan-probe paid it once (60 s), a
+        # "cheap" bare-dot probe paid it FOUR times (190 s: x, w, dot, sum
+        # each a separate program). Everything in one jit = one compile;
+        # the timed calls after it cost ~15 ms.
         @jax.jit
-        def probe(x, w):
-            return jnp.dot(x, w)
+        def probe(key):
+            x = jax.random.normal(key, (dim, dim), jnp.bfloat16)
+            w = (jax.random.normal(jax.random.fold_in(key, 1), (dim, dim),
+                                   jnp.float32)
+                 / np.sqrt(dim)).astype(jnp.bfloat16)
+            y = x
+            for _ in range(iters):
+                y = jnp.dot(y, w)
+            return y.astype(jnp.float32).sum()
 
         key = jax.random.PRNGKey(0)
-        x = jax.random.normal(key, (dim, dim), jnp.bfloat16)
-        w = (jax.random.normal(jax.random.fold_in(key, 1), (dim, dim),
-                               jnp.float32) / np.sqrt(dim)).astype(jnp.bfloat16)
-        y = probe(x, w)
-        _ = float(y.astype(jnp.float32).sum())  # compile + warmup
+        _ = float(probe(key))  # compile + warmup
         best = None
         for _i in range(3):
             t1 = time.perf_counter()
-            y = x
-            for _j in range(iters):
-                y = probe(y, w)
-            _ = float(y.astype(jnp.float32).sum())
+            _ = float(probe(key))
             dt = time.perf_counter() - t1
             best = dt if best is None else min(best, dt)
-        flops = 2.0 * iters * dim ** 3
+        flops = 2.0 * iters * dim ** 3  # RNG + sum are noise next to this
         _CAL["session_tflops"] = round(flops / best / 1e12, 1)
         _CAL["calibration_secs"] = round(time.perf_counter() - t0, 1)
     except Exception as e:  # calibration must never break the benchmark
