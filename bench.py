@@ -599,8 +599,11 @@ def bench_train_vae(batch: int = 1, remat: bool = True, grad_accum: int = 1):
     # counts the accumulation scan body ONCE — scale by grad_accum and add
     # nothing for the update (Adam is noise next to the conv fwd+bwd).
     step_analysis = make_vae_train_step(vae, donate=False)
-    micro_d = {"volume": jnp.zeros(
-        (batch // grad_accum, *VOLUME_SHAPE, 4), jnp.bfloat16)}
+    # host zeros: _flops_of only reads shapes/dtypes, and a live device
+    # buffer here eats HBM margin the remat step needs (the execution peak
+    # sits close to the 16 GB limit — CLAUDE.md HBM-cliff rule)
+    micro_d = {"volume": np.zeros(
+        (batch // grad_accum, *VOLUME_SHAPE, 4), dtype=jnp.bfloat16)}
     micro_flops = _flops_of(step_analysis, state, micro_d, key)
     step_flops = micro_flops * grad_accum if micro_flops else None
 

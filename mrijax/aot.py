@@ -125,7 +125,7 @@ def build_volume_sampler(
     structure/shapes/dtypes for ``export_callable``'s specs; real weights
     are supplied at call time.
     """
-    from mrijax.kernels.dispatch import disable_pallas
+    from mrijax.kernels.dispatch import host_init
     from mrijax.train.experiments import (
         build_diffusion, build_unet3d, build_vae3d,
     )
@@ -140,7 +140,7 @@ def build_volume_sampler(
     latent_channels = cfg.vae.latent_channels
     shape = (num_volumes, *latent_spatial, latent_channels)
 
-    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+    with host_init():
         unet_t = unet_init.init(
             jax.random.PRNGKey(0),
             jnp.zeros((1, 8, 8, 8, latent_channels)),
@@ -196,9 +196,9 @@ def build_slice_sampler(
     ch = cfg.unet.out_channels
     shape = (num_samples, s, s, ch)
 
-    from mrijax.kernels.dispatch import disable_pallas
+    from mrijax.kernels.dispatch import host_init
 
-    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+    with host_init():
         params_t = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, s, s, ch)),
             jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),

@@ -46,17 +46,34 @@ def run_experiment_with_logger(cfg, logger):
     return run_experiment(cfg, logger=logger)
 
 
+def _multihost_mode(args) -> bool:
+    """True when this run is one rank of a multi-process job: any rendezvous
+    flag, ``MRIJAX_MULTIHOST=1`` (the TPU-pod switch — the pod runtime gives
+    ``jax.distributed.initialize()`` its coordinator), or a multi-task SLURM
+    allocation (auto-discovered the same way). Computed ONCE and reused so
+    the rendezvous call and the rank-0 write gating can never disagree —
+    a desynchronized pair would leave every rank believing it is host 0
+    while distributed init ran, clobbering the shared run dir."""
+    if args.coordinator or args.num_processes or args.process_id is not None:
+        return True
+    if os.environ.get("MRIJAX_MULTIHOST"):
+        return True
+    try:
+        return int(os.environ.get("SLURM_NTASKS", "1")) > 1
+    except ValueError:
+        return False
+
+
 def cmd_train(args):
     from mrijax.config import PRESETS, ExperimentConfig, _apply_overrides
 
     # Multi-process rendezvous FIRST — jax.distributed.initialize must run
-    # before anything touches the XLA backend. With no flags this is a
-    # no-op on single hosts and auto-discovers the coordinator on TPU pods /
-    # SLURM (the reference reaches the same point via torchrun env plumbing,
-    # ddpm_3d_ldm/train.py:76-105). Exercised for real by
-    # scripts/training_job_multihost.sh and tests/test_multiprocess_dcn.py.
-    if args.coordinator or args.num_processes or os.environ.get(
-            "MRIJAX_MULTIHOST"):
+    # before anything touches the XLA backend (the reference reaches the
+    # same point via torchrun env plumbing, ddpm_3d_ldm/train.py:76-105).
+    # Exercised for real by scripts/training_job_multihost.sh and
+    # tests/test_multiprocess_dcn.py.
+    multihost = _multihost_mode(args)
+    if multihost:
         from mrijax.parallel import multihost
 
         multihost.initialize(
@@ -89,8 +106,7 @@ def cmd_train(args):
     from mrijax.obs import MetricsLogger, NullLogger, run_with_energy
 
     is_host0 = True
-    if args.coordinator or args.num_processes or os.environ.get(
-            "MRIJAX_MULTIHOST"):
+    if multihost:
         import jax
 
         is_host0 = jax.process_index() == 0
@@ -194,9 +210,9 @@ def cmd_sample(args):
         model = build_unet2d(cfg.unet)
         x_ch = cfg.unet.out_channels  # denoised channels
         ctx_ch = cfg.unet.in_channels - x_ch
-        from mrijax.kernels.dispatch import disable_pallas
+        from mrijax.kernels.dispatch import host_init
 
-        with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+        with host_init():
             zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if ctx_ch else ()
             template = create_train_state(
                 model.init(
@@ -278,9 +294,9 @@ def cmd_sample(args):
         vae = build_vae3d(cfg.vae)
         unet = build_unet3d(cfg.unet)
         unet_init = build_unet3d(cfg.unet, use_flash=False)
-        from mrijax.kernels.dispatch import disable_pallas
+        from mrijax.kernels.dispatch import host_init
 
-        with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+        with host_init():
             vae_template = create_train_state(
                 vae.init(key, jnp.zeros((1, 16, 16, 16, cfg.vae.in_channels)),
                          jax.random.PRNGKey(1)),
@@ -378,9 +394,9 @@ def cmd_eval(args):
     is_25d = cfg.family == "ddpm_25d"
     x_ch = cfg.unet.out_channels
     ctx_ch = cfg.unet.in_channels - x_ch
-    from mrijax.kernels.dispatch import disable_pallas
+    from mrijax.kernels.dispatch import host_init
 
-    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+    with host_init():
         zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if is_25d else ()
         template = create_train_state(
             model.init(key, jnp.zeros((1, s, s, x_ch)),
@@ -469,8 +485,13 @@ def cmd_eval(args):
                 sampler=getattr(args, "sampler", "ddim"),
             )
         # segmented on tunnel backends: one T=1000 execution would exceed
-        # the remote worker's per-execution cap (PERF.md "2D sampling")
-        return diffusion.p_sample_loop_auto(model_fn, shape, k)
+        # the remote worker's per-execution cap (PERF.md "2D sampling").
+        # Under a mesh call the plain loop — segments would fuse back into
+        # one execution inside shard_map anyway (same dispatch as
+        # generate.py; the tunnel+full-T case keeps mesh=None above).
+        ancestral = (diffusion.p_sample_loop if mesh is not None
+                     else diffusion.p_sample_loop_auto)
+        return ancestral(model_fn, shape, k)
 
     def sample_fn(batch, k):
         z = jnp.asarray(batch["z_pos"])
@@ -721,9 +742,9 @@ def cmd_import_torch(args):
     s = cfg.data.image_size
     x_ch = cfg.unet.out_channels
     ctx_ch = cfg.unet.in_channels - x_ch
-    from mrijax.kernels.dispatch import disable_pallas
+    from mrijax.kernels.dispatch import host_init
 
-    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+    with host_init():
         zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if ctx_ch else ()
         ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, x_ch)),
                          jnp.zeros((1,), jnp.int32), jnp.zeros((1,)), *zeros_ctx)
@@ -784,9 +805,9 @@ def _import_torch_3d(args, cfg):
     # shape sanity against the config's models (same guard as the 2D path)
     vae = build_vae3d(cfg.vae)
     unet = build_unet3d(cfg.unet, use_flash=False)
-    from mrijax.kernels.dispatch import disable_pallas
+    from mrijax.kernels.dispatch import host_init
 
-    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+    with host_init():
         vae_ref = vae.init(
             jax.random.PRNGKey(0),
             jnp.zeros((1, 16, 16, 16, cfg.vae.in_channels)),
@@ -853,9 +874,9 @@ def cmd_export(args):
         model = build_unet2d(cfg.unet)
         x_ch = cfg.unet.out_channels
         ctx_ch = cfg.unet.in_channels - x_ch
-        from mrijax.kernels.dispatch import disable_pallas
+        from mrijax.kernels.dispatch import host_init
 
-        with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+        with host_init():
             zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if ctx_ch else ()
             template = create_train_state(
                 model.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, x_ch)),
@@ -873,9 +894,9 @@ def cmd_export(args):
     elif cfg.family == "ddpm_3d_ldm":
         vae = build_vae3d(cfg.vae)
         unet_init = build_unet3d(cfg.unet, use_flash=False)
-        from mrijax.kernels.dispatch import disable_pallas
+        from mrijax.kernels.dispatch import host_init
 
-        with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+        with host_init():
             vae_template = create_train_state(
                 vae.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, 16, 16, 16, cfg.vae.in_channels)),
@@ -921,9 +942,9 @@ def cmd_export_aot(args):
         # latent_scale travels in the ldm checkpoint's extra and is baked
         # into the program (a scalar constant, unlike the weight trees)
         unet_init = build_unet3d(cfg.unet, use_flash=False)
-        from mrijax.kernels.dispatch import disable_pallas
+        from mrijax.kernels.dispatch import host_init
 
-        with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+        with host_init():
             template = create_train_state(
                 unet_init.init(
                     jax.random.PRNGKey(0),
@@ -1174,7 +1195,9 @@ def build_parser():
                    help="dotted config overrides, e.g. train.epochs=3")
     t.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                    help="multi-process coordinator address (host 0); omit on "
-                        "TPU pods/SLURM where jax.distributed auto-discovers")
+                        "multi-task SLURM jobs (detected via SLURM_NTASKS) "
+                        "and on TPU pods with MRIJAX_MULTIHOST=1, where "
+                        "jax.distributed auto-discovers the coordinator")
     t.add_argument("--num-processes", type=int, default=None,
                    help="total processes in the multi-process job")
     t.add_argument("--process-id", type=int, default=None,

@@ -158,9 +158,9 @@ def _evaluate_one(
     diffusion = build_diffusion(cfg.diffusion)
     x_ch = cfg.unet.out_channels
     ctx_ch = cfg.unet.in_channels - x_ch
-    from mrijax.kernels.dispatch import disable_pallas
+    from mrijax.kernels.dispatch import host_init
 
-    with jax.default_device(jax.devices("cpu")[0]), disable_pallas():
+    with host_init():
         zeros_ctx = (jnp.zeros((1, s, s, ctx_ch)),) if is_25d else ()
         template = create_train_state(
             model.init(jax.random.PRNGKey(0),

@@ -85,3 +85,28 @@ def disable_pallas():
                 _disabling_threads[ident] = n
             else:
                 _disabling_threads.pop(ident, None)
+
+
+@contextmanager
+def host_init():
+    """CPU-pinned, Pallas-free window for flax ``model.init``.
+
+    flax ``init`` EXECUTES the forward pass, so initializing a large model
+    on a TPU-tunnel backend would (a) run the whole network through the
+    slow tunnel and (b) auto-dispatch Pallas TPU kernels that then get
+    lowered for the pinned CPU device and crash. Every template/param init
+    in the package goes through this one window so the invariant is
+    structural, not a per-call-site convention:
+
+        with host_init():
+            params = model.init(key, *dummy_args)
+        params = jax.device_put(params, ...)   # then place for real
+
+    Uses ``jax.local_devices(backend="cpu")`` (not ``jax.devices``): in a
+    multi-process job process 0's CPU is non-addressable from other ranks —
+    a real-process crash pinned by ``tests/test_multiprocess_dcn.py``.
+    """
+    with jax.default_device(
+        jax.local_devices(backend="cpu")[0]
+    ), disable_pallas():
+        yield

@@ -40,8 +40,15 @@ def initialize(coordinator_address: Optional[str] = None,
             process_id=process_id,
         )
     except (ValueError, RuntimeError) as e:
-        # single-process run without a coordinator: fine
-        if num_processes not in (None, 1):
+        # Swallow ONLY the pure auto-discovery miss (no rendezvous arg was
+        # given and no cluster env exists — a plain single-host run) or an
+        # explicit num_processes=1. If the caller named a coordinator, a
+        # rank, or >1 processes, a failed rendezvous must be loud: silently
+        # degrading to single-process means every host trains the full
+        # dataset independently and clobbers the shared run dir.
+        explicit = (coordinator_address is not None or process_id is not None
+                    or num_processes not in (None, 1))
+        if explicit:
             raise
         print(f"[multihost] single-process mode ({e})")
 

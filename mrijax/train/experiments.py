@@ -224,16 +224,11 @@ def _init_params(model, *args, seed=0, mesh=None):
     """Init on host CPU (flax init executes the forward; keep it off the
     device tunnel), then replicate across the mesh (or place on the default
     device when mesh is None)."""
-    from mrijax.kernels.dispatch import disable_pallas
+    from mrijax.kernels.dispatch import host_init
 
-    # local_devices, not devices: in a multi-process job jax.devices("cpu")[0]
-    # is process 0's device — non-addressable from other ranks (real-process
-    # crash pinned by tests/test_multiprocess_dcn.py). Every process inits
-    # from the same PRNGKey, so host values agree and global_put can place
-    # them without any cross-host broadcast.
-    with jax.default_device(
-        jax.local_devices(backend="cpu")[0]
-    ), disable_pallas():
+    # Every process inits from the same PRNGKey, so host values agree and
+    # global_put can place them without any cross-host broadcast.
+    with host_init():
         params = model.init(jax.random.PRNGKey(seed), *args)
     if mesh is not None:
         # global_put, not device_put: multi-process placement from identical

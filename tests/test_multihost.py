@@ -83,5 +83,43 @@ def test_initialize_raises_when_multiprocess_requested_but_fails(monkeypatch):
     with pytest.raises(RuntimeError):
         multihost.initialize(coordinator_address="10.0.0.1:1234",
                             num_processes=4, process_id=1)
+    # ANY explicit rendezvous arg makes a failed init loud — silently
+    # degrading to single-process would have every host train the full
+    # dataset and clobber the shared run dir (round-4 review finding)
+    with pytest.raises(RuntimeError):
+        multihost.initialize(coordinator_address="10.0.0.1:1234")
+    with pytest.raises(RuntimeError):
+        multihost.initialize(process_id=1)
     # but an explicit single-process request swallows the failure
     multihost.initialize(num_processes=1)
+
+
+def test_cli_multihost_mode_predicate(monkeypatch):
+    """The ONE predicate gating rendezvous AND rank-0 writes (cli.py
+    _multihost_mode): rendezvous flags, MRIJAX_MULTIHOST, and multi-task
+    SLURM allocations trigger it; a lone --process-id is no longer
+    silently dropped (round-4 review finding)."""
+    import argparse
+
+    from mrijax.cli import _multihost_mode
+
+    def ns(**kw):
+        base = dict(coordinator=None, num_processes=None, process_id=None)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    monkeypatch.delenv("MRIJAX_MULTIHOST", raising=False)
+    monkeypatch.delenv("SLURM_NTASKS", raising=False)
+    assert _multihost_mode(ns()) is False
+    assert _multihost_mode(ns(coordinator="h:1")) is True
+    assert _multihost_mode(ns(num_processes=2)) is True
+    assert _multihost_mode(ns(process_id=0)) is True  # rank 0 still counts
+    monkeypatch.setenv("MRIJAX_MULTIHOST", "1")
+    assert _multihost_mode(ns()) is True
+    monkeypatch.delenv("MRIJAX_MULTIHOST")
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    assert _multihost_mode(ns()) is True
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    assert _multihost_mode(ns()) is False
+    monkeypatch.setenv("SLURM_NTASKS", "not-a-number")
+    assert _multihost_mode(ns()) is False

@@ -48,8 +48,11 @@ def _spawn_workers(tmp_path, num_procs=2, timeout=420):
     # parent's 8-device flag so it can't leak a conflicting device count
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
-    pp = env.get("PYTHONPATH", "")
-    env["PYTHONPATH"] = f"{REPO}:{pp}" if pp else str(REPO)
+    # /root/.axon_site appended per the CLAUDE.md PYTHONPATH rule (its
+    # sitecustomize registers the TPU plugin; benign for CPU workers)
+    env["PYTHONPATH"] = ":".join(
+        x for x in (str(REPO), env.get("PYTHONPATH", ""), "/root/.axon_site")
+        if x)
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(i), str(num_procs), str(port),
@@ -118,8 +121,11 @@ def test_cli_train_two_processes(tmp_path):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["JAX_PLATFORMS"] = "cpu"
-    pp = env.get("PYTHONPATH", "")
-    env["PYTHONPATH"] = f"{REPO}:{pp}" if pp else str(REPO)
+    # /root/.axon_site appended per the CLAUDE.md PYTHONPATH rule (its
+    # sitecustomize registers the TPU plugin; benign for CPU workers)
+    env["PYTHONPATH"] = ":".join(
+        x for x in (str(REPO), env.get("PYTHONPATH", ""), "/root/.axon_site")
+        if x)
     cmd = [
         sys.executable, "-m", "mrijax.cli", "--platform", "cpu", "train",
         "--preset", "slice_cond_2d", "--root-dir", str(root), "--name", "mh",
@@ -175,8 +181,11 @@ def test_worker_asserts_cover_collectives_and_sharding(tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
-    pp = env.get("PYTHONPATH", "")
-    env["PYTHONPATH"] = f"{REPO}:{pp}" if pp else str(REPO)
+    # /root/.axon_site appended per the CLAUDE.md PYTHONPATH rule (its
+    # sitecustomize registers the TPU plugin; benign for CPU workers)
+    env["PYTHONPATH"] = ":".join(
+        x for x in (str(REPO), env.get("PYTHONPATH", ""), "/root/.axon_site")
+        if x)
     # num_processes=2 but only one process ever joins: initialize must not
     # silently fall back to single-process (barrier timeout / hard error)
     p = subprocess.Popen(
