@@ -72,14 +72,15 @@ def cmd_train(args):
     # same point via torchrun env plumbing, ddpm_3d_ldm/train.py:76-105).
     # Exercised for real by scripts/training_job_multihost.sh and
     # tests/test_multiprocess_dcn.py.
-    multihost = _multihost_mode(args)
-    if multihost:
-        from mrijax.parallel import multihost
+    is_multihost = _multihost_mode(args)
+    if is_multihost:
+        from mrijax.parallel import multihost as mh
 
-        multihost.initialize(
+        mh.initialize(
             coordinator_address=args.coordinator,
             num_processes=args.num_processes,
             process_id=args.process_id,
+            required=True,
         )
         import jax
 
@@ -106,7 +107,7 @@ def cmd_train(args):
     from mrijax.obs import MetricsLogger, NullLogger, run_with_energy
 
     is_host0 = True
-    if multihost:
+    if is_multihost:
         import jax
 
         is_host0 = jax.process_index() == 0

@@ -21,9 +21,17 @@ import numpy as np
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
+               process_id: Optional[int] = None,
+               required: bool = False) -> None:
     """Idempotent ``jax.distributed.initialize`` (no-op when single-process
     and no coordinator is configured).
+
+    ``required=True`` makes ANY init failure loud even when all rendezvous
+    args are None — the caller detected a multi-process job from the
+    environment (``MRIJAX_MULTIHOST=1``, ``SLURM_NTASKS>1``), so silently
+    degrading would leave every rank believing it is process 0 and
+    clobbering the shared run dir. The reference fails loudly the same way
+    whenever RANK/WORLD_SIZE are set (`ddpm_3d_ldm/train.py:76-105`).
 
     The idempotence probe MUST NOT touch the XLA backend: calling
     ``jax.process_count()`` here would initialize the backend and make the
@@ -41,12 +49,15 @@ def initialize(coordinator_address: Optional[str] = None,
         )
     except (ValueError, RuntimeError) as e:
         # Swallow ONLY the pure auto-discovery miss (no rendezvous arg was
-        # given and no cluster env exists — a plain single-host run) or an
-        # explicit num_processes=1. If the caller named a coordinator, a
-        # rank, or >1 processes, a failed rendezvous must be loud: silently
-        # degrading to single-process means every host trains the full
-        # dataset independently and clobbers the shared run dir.
-        explicit = (coordinator_address is not None or process_id is not None
+        # given, the caller did not detect a cluster, and no cluster env
+        # exists — a plain single-host run) or an explicit num_processes=1.
+        # If the caller named a coordinator, a rank, >1 processes, or
+        # detected a multi-process environment (required=True), a failed
+        # rendezvous must be loud: silently degrading to single-process
+        # means every host trains the full dataset independently and
+        # clobbers the shared run dir.
+        explicit = (required or coordinator_address is not None
+                    or process_id is not None
                     or num_processes not in (None, 1))
         if explicit:
             raise

@@ -92,6 +92,14 @@ def test_initialize_raises_when_multiprocess_requested_but_fails(monkeypatch):
         multihost.initialize(process_id=1)
     # but an explicit single-process request swallows the failure
     multihost.initialize(num_processes=1)
+    # required=True (caller detected MRIJAX_MULTIHOST / SLURM_NTASKS>1)
+    # makes the failure loud even with all-None rendezvous args — the
+    # env-discovered path must never silently degrade to single-process
+    # (round-5 advisor finding: cli.cmd_train passes required=is_multihost)
+    with pytest.raises(RuntimeError):
+        multihost.initialize(required=True)
+    # and an auto-discovery miss with nothing requested stays quiet
+    multihost.initialize()
 
 
 def test_cli_multihost_mode_predicate(monkeypatch):
