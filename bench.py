@@ -965,6 +965,317 @@ def bench_sample_2d(steps: int = None, sampler: str = "ddim"):
     })
 
 
+def bench_sample_2d_ladder():
+    """Batch ladder for the eval-dominating 2D sampling loop
+    (``--sample-2d-sweep``): batch 64/128/256 × {ancestral reference
+    protocol, DDIM-50, DPM-Solver++(2M)-20}, one session so rungs are
+    comparable despite the ~2.5× tunnel variance. The reference protocol
+    generates fakes at batch 64 (`slice_cond_2d_ddpm/metrics.py:347-389`
+    — sized for the A100 MIG slice); the eval harness's generation batch
+    is a free parameter here, and r4 proved the TRAIN step gains ~1.5×
+    MFU at batch 128 — this rung ladder answers the same question for
+    sampling. Ancestral rungs are timed once (≈100 s/run at batch 64);
+    fast paths twice. Segments scale with batch to hold per-execution
+    device time under the tunnel's ~1-min cap."""
+    import numpy as np
+
+    from mrijax.diffusion import (
+        GaussianDiffusion,
+        ancestral_segments_for_backend,
+        linear_beta_schedule,
+        make_schedule,
+    )
+    from mrijax.models import UNet2D
+
+    size, T = 128, 1000
+    model = UNet2D(in_channels=1, out_channels=1, base_channels=64,
+                   channel_mults=(1, 2, 4, 8), dtype=jnp.bfloat16)
+    diffusion = GaussianDiffusion(make_schedule(linear_beta_schedule(T)))
+    params = _init_on_cpu(
+        model, jnp.zeros((1, 16, 16, 1), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
+    )
+    base_segments = ancestral_segments_for_backend()
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(42)
+
+    fwd_flops_by_batch = {}
+
+    def fwd_flops(bs):
+        if bs not in fwd_flops_by_batch:
+            fwd_flops_by_batch[bs] = _flops_of(
+                lambda p, z, x, t: model.apply(p, x, t, z),
+                params, jnp.zeros((bs,)),
+                jnp.zeros((bs, size, size, 1), jnp.bfloat16),
+                jnp.zeros((bs,), jnp.int32),
+            )
+        return fwd_flops_by_batch[bs]
+
+    def make_fn(bs, steps, sampler):
+        z_pos = jax.device_put(rng.uniform(size=(bs,)).astype(np.float32))
+
+        def sample(params, key):
+            def model_fn(x, t):
+                return model.apply(params, x, t, z_pos)
+
+            if steps is None:
+                # eager segments (NOT under jit) dodge the per-execution
+                # cap; segment count grows with batch so per-execution
+                # time stays at the batch-64 level
+                return diffusion.p_sample_loop_segmented(
+                    model_fn, (bs, size, size, 1), key,
+                    segments=max(base_segments, base_segments * bs // 64),
+                )
+            return diffusion.fast_sample(
+                model_fn, (bs, size, size, 1), key,
+                num_steps=steps, sampler=sampler,
+            )
+
+        return sample if steps is None else jax.jit(sample)
+
+    for bs in (64, 128, 256):
+        for sampler, steps in (("ancestral", None), ("ddim", 50), ("dpm", 20)):
+            fn = make_fn(bs, steps, sampler)
+            out = fn(params, key)
+            _ = float(jnp.asarray(out, jnp.float32).mean())
+            _phase(f"ladder b{bs} {sampler}{steps or T}: compile+warmup")
+            n = 1 if steps is None else 2
+            t0 = time.perf_counter()
+            for i in range(n):
+                out = fn(params, jax.random.fold_in(key, i))
+                _ = float(jnp.asarray(out, jnp.float32).mean())
+            dt = (time.perf_counter() - t0) / n
+            n_evals = steps if steps is not None else T
+            total = n_evals * fwd_flops(bs) if fwd_flops(bs) else None
+            _emit({
+                "metric": "slice_cond_2d_sampling_ladder",
+                "batch": bs,
+                "sampler": (f"{sampler}-{steps}" if steps is not None
+                            else f"ancestral-T{T}"),
+                "value": round(bs / dt, 2),
+                "unit": f"slices/sec/chip ({size}²)",
+                "secs_per_batch": round(dt, 3),
+                "mfu": _mfu(total, dt),
+                "timed_runs": n,
+            })
+
+
+def bench_input_pipeline():
+    """Host input pipeline vs the chip (``--input-pipeline``): every other
+    train row times DEVICE-RESIDENT batches, so its MFU is compute-only.
+    This mode measures, in ONE session at the 2D bs-64 protocol
+    (`slice_cond_2d_ddpm/model.py:27-34,84-98` — the reference feeds it
+    with `DataLoader(num_workers=4, pin_memory=True)`):
+
+    - ``device_resident``  — compute-only steps/s (the A-side),
+    - ``packed_loader``    — steps/s fed by `BatchLoader` over packed npz
+      shards (prefetch thread on) — the shipped production path,
+    - ``live_loader``      — steps/s fed by NIfTI decode + resize with the
+      LRU-4 volume cache (the reference's live path),
+    - ``*_host_only``      — the loader iterated WITHOUT stepping: the
+      host's production ceiling in images/s (attribution: if host_only
+      beats the consumed rate, the gap is H2D/dispatch, not decode).
+
+    Data: synthetic BraTS volumes at (128,128,80) — big enough that decode
+    and resize cost what real volumes cost at the protocol's 128² size.
+    """
+    import tempfile
+
+    import numpy as np
+
+    from mrijax.data import BatchLoader, SliceDataset2D
+    from mrijax.data.packing import PackedSliceDataset, pack_dataset
+    from mrijax.data.synthetic import write_synthetic_brats
+    from mrijax.diffusion import GaussianDiffusion, linear_beta_schedule, make_schedule
+    from mrijax.models import UNet2D
+    from mrijax.train import create_train_state
+    from mrijax.train.steps import make_diffusion_train_step
+
+    bs, size = 64, 128
+    tmp = tempfile.mkdtemp(prefix="mrijax_inpipe_")
+    t0 = time.perf_counter()
+    root = write_synthetic_brats(tmp + "/brats", num_subjects=6,
+                                 shape=(128, 128, 80), seed=0)
+    _phase("input-pipeline: synthetic volumes")
+    # packing on host CPU (use_device=False): the TPU path would pay a
+    # worker compile for a one-off preprocessing batch
+    pack_dataset(root, tmp + "/packed", image_size=size, use_device=False)
+    _phase("input-pipeline: pack shards")
+
+    model = UNet2D(in_channels=1, out_channels=1, base_channels=64,
+                   channel_mults=(1, 2, 4, 8), dtype=jnp.bfloat16)
+    diffusion = GaussianDiffusion(
+        make_schedule(linear_beta_schedule(1000)), loss_type="mse"
+    )
+    params = _init_on_cpu(
+        model, jnp.zeros((1, 16, 16, 1), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
+    )
+    state = jax.device_put(create_train_state(params, 2e-4), jax.devices()[0])
+    step = make_diffusion_train_step(model, diffusion, donate=False)
+    key = jax.random.PRNGKey(0)
+
+    rng = np.random.default_rng(0)
+    resident = {
+        "image": jax.device_put(
+            rng.normal(size=(bs, size, size, 1)).astype(np.float32)),
+        "z_pos": jax.device_put(rng.uniform(size=(bs,)).astype(np.float32)),
+    }
+    # compile once (shared by every variant: same shapes)
+    state, loss = step(state, resident, key)
+    _ = float(loss)
+    _phase("input-pipeline: train-step compile")
+
+    def timed_steps(batch_iter, n_steps):
+        """Consume n_steps batches through the train step; value readback
+        ONCE at the end (per-step readbacks are ~50-100 ms of tunnel
+        roundtrip each and would mask the pipeline difference)."""
+        nonlocal state
+        t0 = time.perf_counter()
+        got = 0
+        last = None
+        for i, batch in enumerate(batch_iter):
+            if i >= n_steps:
+                break
+            state, last = step(state, batch,
+                               jax.random.fold_in(key, i))
+            got += 1
+        _ = float(last)
+        return got, time.perf_counter() - t0
+
+    def repeat(batch):
+        while True:
+            yield batch
+
+    def loop(loader):
+        while True:
+            for b in loader:
+                yield b
+
+    def emit(tag, got, dt, extra=None):
+        _emit({
+            "metric": "input_pipeline_2d",
+            "variant": tag,
+            "value": round(got * bs / dt, 1),
+            "unit": f"images/sec (bs={bs} @ {size}², steps={got})",
+            "secs_per_step": round(dt / max(got, 1), 4),
+            **(extra or {}),
+        })
+
+    N = 24
+    got, dt = timed_steps(repeat(resident), N)
+    emit("device_resident", got, dt)
+
+    packed = PackedSliceDataset(tmp + "/packed")
+    live = SliceDataset2D(root, size)
+    for tag, ds in (("packed_loader", packed), ("live_loader", live)):
+        loader = BatchLoader(ds, bs, shuffle=True, drop_last=True,
+                             seed=0, prefetch=2)
+        # host-only production ceiling (no device work at all)
+        t0 = time.perf_counter()
+        n_host = 0
+        for i, b in enumerate(loop(loader)):
+            if i >= N:
+                break
+            n_host += 1
+        host_dt = time.perf_counter() - t0
+        _emit({
+            "metric": "input_pipeline_2d",
+            "variant": f"{tag}_host_only",
+            "value": round(n_host * bs / host_dt, 1),
+            "unit": f"images/sec produced (bs={bs}, no device work)",
+        })
+        got, dt = timed_steps(loop(loader), N)
+        emit(tag, got, dt)
+
+
+def bench_eval_2d():
+    """Generative-eval throughput on the chip (``--eval-2d``): the
+    reference's single most expensive accelerator workload is its eval run
+    (`slice_cond_2d_ddpm/metrics.py:232-523` — matched-z fakes via the
+    full-T ancestral loop + Inception features, ~10⁶ UNet forwards).
+    This drives the REAL `evals.harness.evaluate_conditional_2d` streaming
+    loop (FID/KID accumulators, per-bin, diversity, memorization) on the
+    chip with the real Inception-v3 trunk (seeded random init — converted
+    ImageNet weights only change the constants, not the compute) and
+    synthetic real batches, at eval scale small enough for one session:
+
+    - fast mode: DPM-Solver++(2M)-20 fakes (the documented non-protocol
+      `cli eval --ddim-steps 20 --sampler dpm` path),
+    - protocol mode: full-T ancestral segmented fakes, one batch's worth
+      (enough to time it; the per-sample cost is flat in num_samples).
+    """
+    import numpy as np
+
+    from mrijax.diffusion import GaussianDiffusion, linear_beta_schedule, make_schedule
+    from mrijax.evals import InceptionFeatureExtractor, evaluate_conditional_2d
+    from mrijax.models import UNet2D
+
+    bs, size, T = 64, 128, 1000
+    model = UNet2D(in_channels=1, out_channels=1, base_channels=64,
+                   channel_mults=(1, 2, 4, 8), dtype=jnp.bfloat16)
+    diffusion = GaussianDiffusion(make_schedule(linear_beta_schedule(T)))
+    params = _init_on_cpu(
+        model, jnp.zeros((1, 16, 16, 1), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
+    )
+    fe = InceptionFeatureExtractor()  # random init on host; real trunk
+    _phase("eval-2d: inception init")
+
+    rng = np.random.default_rng(7)
+
+    def real_batches(n_batches):
+        for _ in range(n_batches):
+            yield {
+                "image": np.clip(rng.normal(
+                    size=(bs, size, size, 1)), -1, 1).astype(np.float32),
+                "z_pos": rng.uniform(size=(bs,)).astype(np.float32),
+            }
+
+    def make_sample_fn(steps):
+        def sample_fn(batch, k):
+            z = jnp.asarray(batch["z_pos"])
+
+            def model_fn(x, t):
+                return model.apply(params, x, t, z)
+
+            shape = (z.shape[0], size, size, 1)
+            if steps is None:
+                return diffusion.p_sample_loop_auto(model_fn, shape, k)
+            return diffusion.fast_sample(
+                model_fn, shape, k, num_steps=steps, sampler="dpm"
+            )
+
+        return sample_fn
+
+    for tag, steps, n_samples, div_pairs in (
+        ("dpm-20 (fast mode)", 20, 256, 32),
+        (f"ancestral-T{T} (reference protocol)", None, 64, 0),
+    ):
+        t0 = time.perf_counter()
+        report = evaluate_conditional_2d(
+            make_sample_fn(steps),
+            real_batches(-(-n_samples // bs)),
+            feature_extractor=fe,
+            num_samples=n_samples,
+            num_diversity_pairs=div_pairs,
+            seed=0,
+            metadata={"sampler": tag},
+        )
+        dt = time.perf_counter() - t0
+        _emit({
+            "metric": "eval_2d_throughput",
+            "sampler": tag,
+            "value": round(n_samples / dt, 3),
+            "unit": f"eval samples/sec (batch {bs} @ {size}², sampling + "
+                    "2x inception features + streaming FID/KID)",
+            "num_samples": n_samples,
+            "eval_seconds": round(dt, 1),
+            "fid_rand": round(float(report["fid_rand"]), 3),
+            "kid_rand_mean": round(float(report["kid_rand_mean"]), 6),
+        })
+
+
 def bench_sweep():
     """Same-session A/B sweep of the sampling pipeline (``--sweep``):
     batch × decode-chunk × DDIM steps measured in ONE process so the
@@ -1067,6 +1378,15 @@ def main():
         return
     if "--train-cached" in sys.argv:
         bench_train_step_cached()
+        return
+    if "--sample-2d-sweep" in sys.argv:
+        bench_sample_2d_ladder()
+        return
+    if "--input-pipeline" in sys.argv:
+        bench_input_pipeline()
+        return
+    if "--eval-2d" in sys.argv:
+        bench_eval_2d()
         return
     if "--sample-2d" in sys.argv:
         def _flag_value(flag):

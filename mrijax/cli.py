@@ -525,6 +525,15 @@ def cmd_eval(args):
     )
 
     out = Path(args.out or run_dir / "eval" / "metrics.json")
+    # label the fakes-generation sampler in the report: --ddim-steps engages
+    # a documented NON-protocol fast mode (DDIM/DPM strided); the reference
+    # protocol is full-T ancestral only (`metrics.py:355`)
+    T = cfg.diffusion.timesteps
+    sampling_meta = {
+        "sampler": (f"{args.sampler}-{args.ddim_steps}" if args.ddim_steps
+                    else f"ancestral-T{T}"),
+        "sampler_is_reference_protocol": not args.ddim_steps,
+    }
     report = evaluate_conditional_2d(
         sample_fn,
         iter(loader),
@@ -537,6 +546,7 @@ def cmd_eval(args):
         seed=args.seed,
         eval_channel=args.eval_channel if is_25d else None,
         out_path=out,
+        metadata=sampling_meta,
     )
     print(json.dumps({k: v for k, v in report.items()
                       if not isinstance(v, dict)}, indent=2))

@@ -221,19 +221,47 @@ class GaussianDiffusion:
         PERF.md "2D sampling"): T=1000 at 2D-batch scale exceeds the cap
         as one scan, while segments of ~250 steps stream through
         back-to-back dispatches with no host roundtrip between them.
+
+        The segment's start timestep rides the scan carry as a TRACED
+        scalar (not a baked-in constant), so every equal-length segment
+        shares ONE executable — without this, an 8-segment loop is 8
+        distinct HLO programs and a remote worker charges its ~30-50 s
+        compile round trip 8 times for a new batch size (PERF.md
+        "Cold-setup anatomy"). A ragged tail segment (when steps don't
+        divide evenly) is the only second program.
         """
         if segments < 1:
             raise ValueError(f"segments must be >= 1, got {segments}")
         start = self.timesteps - 1 if start_t is None else int(start_t)
         n_steps = start + 1
         seg = -(-n_steps // segments)  # ceil
-        x = x_t
+        b = shape[0]
+        init_key, loop_key = jax.random.split(key)
+        x = x_t if x_t is not None else jax.random.normal(
+            init_key, shape, jnp.float32
+        )
+
+        def run_segment(x, hi, length):
+            # same body as p_sample_loop's scan, with the absolute
+            # timestep derived from the traced carry: i = hi - k
+            def step(carry, k):
+                xc, hic = carry
+                i = hic - k
+                t = jnp.full((b,), 0, jnp.int32) + i
+                noise = jax.random.normal(
+                    jax.random.fold_in(loop_key, i), shape, jnp.float32
+                )
+                return (self.p_sample_step(model_fn, xc, t, noise), hic), None
+
+            (x, _), _ = jax.lax.scan(
+                step, (x, jnp.asarray(hi, jnp.int32)), jnp.arange(length)
+            )
+            return x
+
         hi = start
         while hi >= 0:
             lo = max(hi - seg + 1, 0)
-            x = self.p_sample_loop(
-                model_fn, shape, key, start_t=hi, x_t=x, end_t=lo
-            )
+            x = run_segment(x, hi, hi - lo + 1)
             hi = lo - 1
         return x
 

@@ -74,10 +74,16 @@ class FeatureExtractor:
 
             self.params, _ = load_params_npz(weights_path)
         else:
-            self.params = self.net.init(
-                jax.random.PRNGKey(seed),
-                jnp.zeros((1, image_size, image_size, 3)),
-            )
+            # flax init EXECUTES the forward: pin it to host CPU (on the
+            # axon TPU backend an eager init is hundreds of per-op tunnel
+            # roundtrips — the r4 CLI chip run's bug class)
+            from mrijax.kernels.dispatch import host_init
+
+            with host_init():
+                self.params = self.net.init(
+                    jax.random.PRNGKey(seed),
+                    jnp.zeros((1, image_size, image_size, 3)),
+                )
         # params travel as a jit ARGUMENT (never closed over): closed-over
         # weights become HLO constants, which blow up remote TPU compiles
         self._embed = jax.jit(self._embed_impl)
@@ -129,8 +135,16 @@ def _load_params(net, weights_path, params, example_shape):
 
         loaded, _ = load_params_npz(weights_path)
         return loaded
-    # deterministic random init — usable for pipeline tests, labeled _rand
-    return net.init(jax.random.PRNGKey(0), *(jnp.zeros(s) for s in example_shape))
+    # deterministic random init — usable for pipeline tests, labeled _rand.
+    # Pinned to host CPU: flax init executes the forward, and an eager
+    # Inception/ResNet forward on the axon TPU backend is hundreds of
+    # per-op tunnel roundtrips (the r4 CLI chip run's bug class).
+    from mrijax.kernels.dispatch import host_init
+
+    with host_init():
+        return net.init(
+            jax.random.PRNGKey(0), *(jnp.zeros(s) for s in example_shape)
+        )
 
 
 class InceptionFeatureExtractor:

@@ -60,6 +60,7 @@ def evaluate_conditional_2d(
     eval_channel: Optional[int] = None,
     out_path=None,
     progress_path=None,
+    metadata: Optional[dict] = None,
 ) -> dict:
     """Evaluate a conditional 2D sampler against real data.
 
@@ -137,6 +138,10 @@ def evaluate_conditional_2d(
             )
 
     report: dict = {"num_samples": n_seen, "protocol": "matched-z streaming"}
+    # caller-supplied provenance (e.g. which sampler generated the fakes —
+    # the reference can only do the full-T ancestral protocol,
+    # `metrics.py:355`; a fast-mode report must say so in its JSON)
+    report.update(metadata or {})
     mu_r, cov_r = global_real.stats()
     mu_f, cov_f = global_fake.stats()
     report[f"fid{sfx}"] = frechet_distance(mu_r, cov_r, mu_f, cov_f)

@@ -156,6 +156,12 @@ class Trainer:
         epoch = self.start_epoch - 1
 
         for epoch in range(self.start_epoch, self.epochs):
+            # True only when the preemption poll BREAKS the step loop —
+            # an edge-detected preemption (the flag noticed after the
+            # epoch's steps all ran) leaves the epoch fully trained, and
+            # marking it incomplete would make resume re-run (and
+            # double-apply) its gradient steps
+            mid_epoch = False
             self.train_loader.set_epoch(epoch)
             epoch_train = jax.random.fold_in(base_train, epoch)
             epoch_val = jax.random.fold_in(base_val, epoch)
@@ -178,6 +184,7 @@ class Trainer:
                     self._log("train_loss_step", _scalar(loss), self.global_step)
                 if self._should_stop(i):
                     preempted = True
+                    mid_epoch = True
                     break
 
             if not losses:
@@ -244,9 +251,14 @@ class Trainer:
             if self.ckpt is not None:
                 extra = {
                     "epoch": epoch,
-                    # False when preempted mid-epoch: resume re-runs this
-                    # epoch instead of counting its untrained remainder
-                    "epoch_complete": not preempted,
+                    # False only when the step loop BROKE mid-epoch: resume
+                    # re-runs such an epoch instead of counting its
+                    # untrained remainder. An edge-detected preemption
+                    # (epoch's steps all ran; flag noticed at the epoch
+                    # boundary) keeps epoch_complete=True so resume
+                    # continues at epoch+1 and reproduces the
+                    # uninterrupted run exactly (test_preemption_drill).
+                    "epoch_complete": not mid_epoch,
                     "global_step": self.global_step,
                     "val_loss": val_loss,
                     "sched_best": self.scheduler.best,

@@ -80,6 +80,9 @@ def test_cli_train_info_sample_2d(brats_root, tmp_path, capsys):
     assert report["num_samples"] == 8
     assert np.isfinite(report["fid_rand"])
     assert "diversity_ssim_mean" in report
+    # fast mode labels itself: --ddim-steps is NOT the reference protocol
+    assert report["sampler"] == "ddim-4"
+    assert report["sampler_is_reference_protocol"] is False
 
     # split smaller than batch-size: single-device eval keeps the ragged
     # tail instead of dying on zero batches (r2 weak #6) ...
