@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier: run with the full suite, excluded by -m 'not slow'
+
 from mrijax import aot
 from mrijax.config import preset_slice_cond_2d
 

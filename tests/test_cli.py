@@ -6,6 +6,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier: run with the full suite, excluded by -m 'not slow'
+
 from mrijax.cli import main
 from mrijax.data.synthetic import write_synthetic_brats
 from mrijax.obs import reset_termination

@@ -10,6 +10,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier: run with the full suite, excluded by -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

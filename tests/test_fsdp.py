@@ -26,9 +26,13 @@ from mrijax.parallel import (
 from mrijax.parallel.fsdp import fsdp_spec
 from mrijax.train import create_train_state, make_diffusion_train_step
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
+    ),
+    # heavyweight tier: run with the full suite, excluded by -m 'not slow'
+    pytest.mark.slow,
+]
 
 
 def _tiny_setup(ema=False):

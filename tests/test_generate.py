@@ -5,6 +5,8 @@ diagnostics."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier: run with the full suite, excluded by -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

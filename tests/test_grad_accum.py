@@ -16,6 +16,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier: run with the full suite, excluded by -m 'not slow'
+
 from mrijax.models import VAE3D
 from mrijax.train.state import TrainState
 from mrijax.train.steps import make_vae_train_step, vae_loss

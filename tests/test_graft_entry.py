@@ -3,6 +3,8 @@
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier: run with the full suite, excluded by -m 'not slow'
+
 
 def test_dryrun_multichip_8():
     import __graft_entry__ as g

@@ -14,6 +14,8 @@ conditioning, so a tiny model reaches a fraction of its initial loss in
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier: run with the full suite, excluded by -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 import optax

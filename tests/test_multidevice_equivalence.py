@@ -15,6 +15,8 @@ import optax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier: run with the full suite, excluded by -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

@@ -2,6 +2,10 @@
 
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight tier: run with the full suite, excluded by -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,8 @@ checkpoint/resume, early stopping, preemption, config round-trip."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier: run with the full suite, excluded by -m 'not slow'
+
 import jax
 
 from mrijax.config import (
