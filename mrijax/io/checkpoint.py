@@ -51,15 +51,29 @@ class CheckpointManager:
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
         self.best_key = best_key
+        # The two managers save the SAME step number (a new best is also the
+        # latest), and orbax derives its cross-process async-commit barrier
+        # key from the step alone — without distinct prefixes the best-save
+        # races the still-committing latest-save on multi-process runs and
+        # dies with "Barrier _async_write_complete.N is already ongoing"
+        # (found by tests/test_preemption_drill.py's real 2-process runs).
         self._mgr = ocp.CheckpointManager(
             self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="latest"),
+            ),
         )
         self._best_mgr = None
         if best_key:
             self._best_mgr = ocp.CheckpointManager(
                 self.directory / "best",
-                options=ocp.CheckpointManagerOptions(max_to_keep=1),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1,
+                    multiprocessing_options=ocp.options.MultiprocessingOptions(
+                        barrier_sync_key_prefix="best"),
+                ),
             )
 
     def _best_record(self) -> dict:
@@ -87,7 +101,16 @@ class CheckpointManager:
         if self._best_mgr and self.best_key in metrics:
             val = float(metrics[self.best_key])
             rec = self._best_record()
-            if not rec or val < rec["value"]:
+            # best.json is host 0's file, rewritten AFTER the collective
+            # best-save completes — a faster non-zero rank can read a stale
+            # copy at the next epoch and take a different branch into the
+            # collective save (deadlock). Broadcast host 0's view so every
+            # process makes the identical decision.
+            from mrijax.parallel.multihost import broadcast_from_host0
+
+            prev = broadcast_from_host0(
+                rec["value"] if rec else float("inf"))
+            if val < prev:
                 # the orbax save is a collective — every process enters it;
                 # the tracking file is host 0's alone, written atomically
                 # (tmp + rename) so a preemption kill mid-write cannot
@@ -132,6 +155,53 @@ class CheckpointManager:
             ),
         )
         return restored["state"], restored.get("extra")
+
+    def restore_host(self, step: Optional[int] = None, *, best: bool = False):
+        """Topology-agnostic restore: (state, extra) with every array leaf
+        as a host ``numpy`` array, regardless of the process/device mesh the
+        checkpoint was saved under.
+
+        ``restore(None)`` reuses the *saved* shardings, so a checkpoint
+        written by an N-process run cannot be opened by an M-process tool —
+        orbax refuses with "available devices are different". This is the
+        ``torch.load(map_location='cpu')`` analog the reference relies on
+        everywhere (e.g. `evaluate_models.py` loading cluster-trained
+        ``.pt`` files on a single eval GPU): read the checkpoint's own
+        shape/dtype metadata, build a single-device target template, and
+        let orbax re-shard into it. Use for inspection, eval, and
+        cross-topology migration; same-topology resume should keep using
+        :meth:`restore` with a properly sharded template.
+        """
+        base = self.directory / "best" if best else self.directory
+        mgr = ocp.CheckpointManager(
+            base,
+            item_handlers={
+                "state": ocp.StandardCheckpointHandler(),
+                "extra": ocp.JsonCheckpointHandler(),
+            },
+        )
+        try:
+            step = mgr.latest_step() if step is None else step
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints in {base}")
+            meta = mgr.item_metadata(step)["state"]
+            sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+            template = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
+                                               sharding=sharding),
+                meta,
+            )
+            restored = mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(template),
+                    extra=ocp.args.JsonRestore(),
+                ),
+            )
+        finally:
+            mgr.close()
+        state = jax.tree.map(np.asarray, restored["state"])
+        return state, restored.get("extra")
 
     def close(self):
         self._mgr.close()

@@ -137,7 +137,11 @@ def _final_params(ckpt_run_dir: Path):
     mgr = CheckpointManager(ckpt_run_dir)
     step = mgr.latest_step
     assert step is not None, f"no checkpoints under {ckpt_run_dir}"
-    state, extra = mgr.restore(None)
+    # the checkpoints were written by 2-process runs; this test process has
+    # a different device set, so the topology-agnostic host restore is the
+    # ONLY correct way to open them here (restore(None) reuses the saved
+    # 2-process shardings and orbax refuses)
+    state, extra = mgr.restore_host()
     mgr.close()
     leaves = jax.tree_util.tree_leaves_with_path(state["params"])
     flat = {jax.tree_util.keystr(k): np.asarray(v) for k, v in leaves}
