@@ -1243,7 +1243,11 @@ def build_parser():
     e = sub.add_parser("eval", help="matched-condition generative eval")
     e.add_argument("--run-dir", required=True)
     e.add_argument("--num-samples", type=int, default=1000)
-    e.add_argument("--batch-size", type=int, default=32)
+    # 128 is the measured knee of the sampling batch ladder on a v5e chip
+    # (PERF.md "2D sampling batch ladder": DDIM/DPM gain ~15% MFU over the
+    # reference's bs-64 A100-MIG protocol, flat beyond); the fakes batch is
+    # a free parameter of the harness, not part of the metric definition
+    e.add_argument("--batch-size", type=int, default=128)
     e.add_argument("--ddim-steps", type=int, default=None)
     e.add_argument("--sampler", default="ddim", choices=["ddim", "dpm"])
     e.add_argument("--diversity-pairs", type=int, default=64)
