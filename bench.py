@@ -1171,10 +1171,16 @@ def bench_input_pipeline():
     for tag, ds in (("packed_loader", packed), ("live_loader", live)):
         loader = BatchLoader(ds, bs, shuffle=True, drop_last=True,
                              seed=0, prefetch=2)
-        # host-only production ceiling (no device work at all)
+        # host-only production ceiling: device_put=False keeps the rung
+        # honest — the placed-loader variant above would enqueue an H2D
+        # transfer per "host-only" batch, folding transfer dispatch into
+        # the decode/stack ceiling and letting in-flight transfers bleed
+        # into the timed_steps window that follows
+        host_loader = BatchLoader(ds, bs, shuffle=True, drop_last=True,
+                                  seed=0, prefetch=2, device_put=False)
         t0 = time.perf_counter()
         n_host = 0
-        for i, b in enumerate(loop(loader)):
+        for i, b in enumerate(loop(host_loader)):
             if i >= N:
                 break
             n_host += 1

@@ -54,7 +54,13 @@ def _multihost_mode(args) -> bool:
     the rendezvous call and the rank-0 write gating can never disagree —
     a desynchronized pair would leave every rank believing it is host 0
     while distributed init ran, clobbering the shared run dir."""
-    if args.coordinator or args.num_processes or args.process_id is not None:
+    # --num-processes 1 alone is a plain single-process run (launchers
+    # template it from $NTASKS, which can legitimately be 1); treating it
+    # as multihost would make required=True turn initialize()'s documented
+    # num_processes=1 degrade-gracefully contract into a crash.
+    if args.coordinator or args.process_id is not None:
+        return True
+    if args.num_processes and int(args.num_processes) > 1:
         return True
     if os.environ.get("MRIJAX_MULTIHOST"):
         return True

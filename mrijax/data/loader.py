@@ -60,6 +60,7 @@ class BatchLoader:
         mesh=None,
         prefetch: int = 2,
         transform=None,
+        device_put: bool = True,
     ):
         if batch_size <= 0:
             raise ValueError("batch_size must be positive")
@@ -78,6 +79,11 @@ class BatchLoader:
         self.mesh = mesh
         self.prefetch = prefetch
         self.transform = transform
+        # device_put=False yields host numpy batches (no mesh sharding, no
+        # placement) — for host-side consumers and for measuring the host
+        # pipeline's production ceiling without enqueuing H2D transfers
+        # (bench.py --input-pipeline's *_host_only rungs)
+        self.device_put = device_put
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -149,6 +155,8 @@ class BatchLoader:
         batch = _stack_batch(samples)
         if self.transform is not None:
             batch = self.transform(batch)
+        if not self.device_put:
+            return batch
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)
         return jax.tree.map(jax.device_put, batch)

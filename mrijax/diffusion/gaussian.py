@@ -38,29 +38,44 @@ from mrijax.diffusion.schedules import DiffusionSchedule
 ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
-def ancestral_segments_for_backend() -> int:
+def ancestral_segments_for_backend(batch_size: Optional[int] = None) -> int:
     """How many device executions a full-T ancestral scan should split into.
 
     Remote-tunnel TPU workers crash past roughly a minute of single-
     execution device time (measured thresholds in PERF.md "2D sampling"),
     so on such backends full-T loops run as RNG-identical segments
-    (``p_sample_loop_segmented``; equality pinned by test). The default of
+    (``p_sample_loop_segmented``; equality pinned by test). The base of
     8 keeps each segment under the cap with headroom for classifier-free
     guidance's 2× per-step cost and the documented ~2.5× slow-session
     variance (worst measured case: 125 steps × 2 × 2.5 × 85 ms ≈ 53 s at
     4 segments vs ≈ 27 s at 8; inter-segment dispatches are free — no
-    host roundtrip). Local backends return 1 (single fused scan).
-    Override with ``MRIJAX_SAMPLE_SEGMENTS``."""
+    host roundtrip). That sizing was measured at the 2D protocol's
+    batch 64 — per-step device time scales with the batch, so callers
+    that know their batch pass ``batch_size`` and the count scales up
+    proportionally (bs 128 → 16 segments of half the steps: same device
+    time per execution). Scaling only ever goes UP; smaller batches keep
+    the safe base. Local backends return 1 (single fused scan).
+    Override with ``MRIJAX_SAMPLE_SEGMENTS`` (absolute, not scaled)."""
+    import math
     import os
 
     v = os.environ.get("MRIJAX_SAMPLE_SEGMENTS")
     if v:
         return max(1, int(v))
+    if not _is_tunnel_backend():
+        return 1
+    scale = max(1, math.ceil((batch_size or 0) / 64))
+    return 8 * scale
+
+
+def _is_tunnel_backend() -> bool:
+    """Whether the default backend is a remote-tunnel TPU (execution-time
+    capped). Separated out so tests can monkeypatch it."""
     try:
         pv = jax.devices()[0].client.platform_version
     except Exception:
-        return 1
-    return 8 if "axon" in str(pv).lower() else 1
+        return False
+    return "axon" in str(pv).lower()
 
 
 def _extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
@@ -198,7 +213,7 @@ class GaussianDiffusion:
         and keep per-execution time under the cap some other way)."""
         return self.p_sample_loop_segmented(
             model_fn, shape, key,
-            segments=ancestral_segments_for_backend(),
+            segments=ancestral_segments_for_backend(batch_size=shape[0]),
             start_t=start_t, x_t=x_t,
         )
 

@@ -155,12 +155,28 @@ class Trainer:
         stopped_early = False
         epoch = self.start_epoch - 1
 
+        # how many train batches an epoch runs (loader length capped by
+        # debug_max_steps); identical on every host (both derive from
+        # global config/loader state), so the mid_epoch decision below can
+        # never diverge across processes. None when the loader is an
+        # unsized iterable — then any in-loop break is conservatively
+        # treated as mid-epoch.
+        try:
+            steps_per_epoch = len(self.train_loader)
+        except TypeError:
+            steps_per_epoch = None
+        if self.debug_max_steps is not None:
+            steps_per_epoch = (
+                self.debug_max_steps if steps_per_epoch is None
+                else min(steps_per_epoch, self.debug_max_steps)
+            )
+
         for epoch in range(self.start_epoch, self.epochs):
-            # True only when the preemption poll BREAKS the step loop —
-            # an edge-detected preemption (the flag noticed after the
-            # epoch's steps all ran) leaves the epoch fully trained, and
-            # marking it incomplete would make resume re-run (and
-            # double-apply) its gradient steps
+            # True only when the preemption poll BREAKS the step loop with
+            # steps still untrained. A preemption noticed AFTER the epoch's
+            # last step (or at the epoch boundary) leaves the epoch fully
+            # trained, and marking it incomplete would make resume re-run
+            # (and double-apply) its gradient steps.
             mid_epoch = False
             self.train_loader.set_epoch(epoch)
             epoch_train = jax.random.fold_in(base_train, epoch)
@@ -184,7 +200,11 @@ class Trainer:
                     self._log("train_loss_step", _scalar(loss), self.global_step)
                 if self._should_stop(i):
                     preempted = True
-                    mid_epoch = True
+                    # a flag that fires on the epoch's LAST step leaves no
+                    # untrained remainder — that epoch is complete, exactly
+                    # like an edge-detected preemption
+                    mid_epoch = (steps_per_epoch is None
+                                 or (i + 1) < steps_per_epoch)
                     break
 
             if not losses:
@@ -203,10 +223,16 @@ class Trainer:
             preempted = preempted or self._should_stop()
 
             val_losses = []
-            # SIGUSR1 gives a bounded grace window (SLURM sends it 600 s
-            # before the kill); spend it on the checkpoint, not on a
-            # validation pass — val_loss falls back to the train loss.
-            val_iter = () if preempted else self.val_loader
+            # A MID-epoch preemption spends the bounded SIGUSR1 grace
+            # window (SLURM sends it 600 s before the kill) on the
+            # checkpoint, not on a validation pass — resume re-runs that
+            # whole epoch anyway, validation included, so nothing is lost.
+            # A preemption that left the epoch FULLY trained runs the
+            # validation normally: skipping it would permanently drop that
+            # epoch's scheduler/early-stop/best updates (resume continues
+            # at epoch+1 and never revisits them), diverging the LR and
+            # best-checkpoint trajectory from the uninterrupted run.
+            val_iter = () if mid_epoch else self.val_loader
             if hasattr(val_iter, "set_epoch"):
                 val_iter.set_epoch(epoch)
             for i, batch in enumerate(val_iter):
@@ -220,13 +246,14 @@ class Trainer:
                 if isinstance(vl, dict):
                     vl = vl["loss"]
                 val_losses.append(_scalar(vl))
-            # Validation skipped by the preemption grace window must not
+            # Validation skipped by the mid-epoch grace window must not
             # drive LR/early-stop/best-checkpoint decisions — a low train
-            # loss would overwrite best/ with a never-validated state. (An
-            # always-empty val loader is different: there the train-loss
-            # fallback is the run's only consistent signal, so it keeps
-            # driving the schedulers as before.)
-            trust_val = bool(val_losses) or not preempted
+            # loss would overwrite best/ with a never-validated state. A
+            # complete epoch's validation ran exactly as the uninterrupted
+            # run's would (including the always-empty-val-loader case,
+            # where the train-loss fallback is the run's only consistent
+            # signal), so its updates are trusted even under preemption.
+            trust_val = not mid_epoch
             val_loss = float(np.mean(val_losses)) if val_losses else train_loss
 
             lr = get_learning_rate(state)

@@ -309,6 +309,27 @@ def test_loader_drop_last_false_keeps_tail(brats_root):
     assert batches[-1]["image"].shape[0] == n % bs or n % bs == 0
 
 
+def test_loader_device_put_false_yields_host_numpy(brats_root):
+    """device_put=False keeps batches as host numpy (no placement, no mesh
+    sharding) — for host-side consumers and for measuring the host
+    pipeline's production ceiling without enqueuing H2D transfers
+    (bench.py --input-pipeline *_host_only). Values must match the placed
+    loader's exactly (same permutation, same decode)."""
+    import numpy as np
+
+    ds = SliceDataset2D(brats_root, image_size=16)
+    host = list(BatchLoader(ds, 4, shuffle=True, seed=5, prefetch=0,
+                            device_put=False))
+    placed = list(BatchLoader(ds, 4, shuffle=True, seed=5, prefetch=0))
+    assert host and len(host) == len(placed)
+    for hb, pb in zip(host, placed):
+        for k in hb:
+            assert isinstance(hb[k], np.ndarray)
+            assert not isinstance(hb[k], jax.Array)
+            assert isinstance(pb[k], jax.Array)
+            np.testing.assert_array_equal(hb[k], np.asarray(pb[k]))
+
+
 def test_take_subset_deterministic(brats_root):
     from mrijax.data import take_subset
 

@@ -114,6 +114,29 @@ def test_segmented_ancestral_bit_identical(diff):
     np.testing.assert_array_equal(whole, seg)
 
 
+def test_ancestral_segments_scale_with_batch(monkeypatch):
+    """On execution-capped tunnel backends the segment count must scale
+    with the batch (per-step device time is ~linear in it): the base of 8
+    was sized at the 2D protocol's batch 64, so batch 128 needs 16 shorter
+    segments to keep per-execution time flat. Local backends stay at 1,
+    and MRIJAX_SAMPLE_SEGMENTS remains an absolute override."""
+    from mrijax.diffusion import gaussian
+
+    monkeypatch.delenv("MRIJAX_SAMPLE_SEGMENTS", raising=False)
+    monkeypatch.setattr(gaussian, "_is_tunnel_backend", lambda: True)
+    f = gaussian.ancestral_segments_for_backend
+    assert f() == 8  # unknown batch: the validated base
+    assert f(batch_size=64) == 8
+    assert f(batch_size=128) == 16
+    assert f(batch_size=96) == 16  # ceil: never undershoot the cap margin
+    assert f(batch_size=8) == 8  # scaling only goes up
+    monkeypatch.setenv("MRIJAX_SAMPLE_SEGMENTS", "4")
+    assert f(batch_size=256) == 4  # override is absolute
+    monkeypatch.delenv("MRIJAX_SAMPLE_SEGMENTS")
+    monkeypatch.setattr(gaussian, "_is_tunnel_backend", lambda: False)
+    assert f(batch_size=512) == 1  # local backends: one fused scan
+
+
 def test_ddim_perfect_eps_recovers_x0(diff):
     """With a model that returns the exact noise used in q_sample, DDIM from
     x_t must walk back to (nearly) x0."""

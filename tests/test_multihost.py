@@ -122,6 +122,10 @@ def test_cli_multihost_mode_predicate(monkeypatch):
     assert _multihost_mode(ns(coordinator="h:1")) is True
     assert _multihost_mode(ns(num_processes=2)) is True
     assert _multihost_mode(ns(process_id=0)) is True  # rank 0 still counts
+    # --num-processes 1 alone is a plain single-process run: launchers
+    # template it from $NTASKS; required=True would otherwise turn
+    # initialize()'s num_processes=1 degrade contract into a crash
+    assert _multihost_mode(ns(num_processes=1)) is False
     monkeypatch.setenv("MRIJAX_MULTIHOST", "1")
     assert _multihost_mode(ns()) is True
     monkeypatch.delenv("MRIJAX_MULTIHOST")

@@ -23,6 +23,9 @@ class _ToyLoader:
     def set_epoch(self, e):
         self.epochs_seen.append(e)
 
+    def __len__(self):
+        return self.n
+
     def __iter__(self):
         rng = np.random.default_rng(0)
         for _ in range(self.n):
@@ -204,4 +207,134 @@ def test_epoch_boundary_resume_reproduces_uninterrupted_run(tmp_path):
     partial = fit(tmp_path / "b", 2, sgd_state())
     resumed = fit(tmp_path / "b", 3, partial)  # restores epoch 0-1, runs 2
     for a, b in zip(jax.tree.leaves(straight.params), jax.tree.leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_last_step_preemption_keeps_epoch_complete(tmp_path):
+    """A flag that fires on the epoch's LAST training step leaves no
+    untrained remainder: the epoch must checkpoint as complete (resume
+    continues at epoch+1 — re-running it would double-apply every gradient
+    step), and its validation must run so the scheduler/early-stop/best
+    trajectory matches the uninterrupted run."""
+    import flax.linen as nn
+
+    reset_termination()
+    model = nn.Dense(1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+
+    def train_step(state, batch, key):
+        noise = jax.random.normal(key, batch["x"].shape) * 0.1
+
+        def loss_fn(p):
+            return jnp.mean(model.apply(p, batch["x"] + noise) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    eval_calls = []
+
+    def eval_step(params, batch, key):
+        eval_calls.append(1)
+        return jnp.mean(model.apply(params, batch["x"]) ** 2)
+
+    class _LastStepPreempt(_ToyLoader):
+        def __iter__(self):
+            for i, b in enumerate(super().__iter__()):
+                if i == self.n - 1:
+                    _handler(10, None)  # lands during the final step
+                yield b
+
+    def fit(ckpt_dir, epochs, state, loader_cls=_ToyLoader):
+        mgr = CheckpointManager(ckpt_dir)
+        tr = Trainer(
+            train_step=train_step, eval_step=eval_step,
+            train_loader=loader_cls(4), val_loader=_ToyLoader(2),
+            checkpoint_manager=mgr, epochs=epochs, seed=7,
+        )
+        res = tr.fit(state)
+        mgr.close()
+        return res
+
+    def sgd_state():
+        return create_train_state(params, 1e-2)
+
+    straight = fit(tmp_path / "a", 2, sgd_state()).state
+
+    res = fit(tmp_path / "b", 2, sgd_state(), _LastStepPreempt)
+    assert res.preempted
+    assert res.epochs_run == 1
+    assert eval_calls, "full-epoch preemption must still validate"
+    reset_termination()
+
+    resumed = fit(tmp_path / "b", 2, res.state)
+    # the interrupted epoch was fully trained: resume must NOT re-run it
+    assert not resumed.preempted
+    assert resumed.epochs_run == 1  # only epoch 1 remained
+    for a, b in zip(jax.tree.leaves(straight.params),
+                    jax.tree.leaves(resumed.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_edge_preemption_validates_and_resume_matches(tmp_path):
+    """A flag noticed at the epoch boundary (after every step ran) keeps
+    the epoch complete AND runs its validation — skipping it would
+    permanently drop that epoch's scheduler/best updates (resume starts at
+    epoch+1) and diverge the LR/early-stop trajectory from the
+    uninterrupted run."""
+    import flax.linen as nn
+
+    reset_termination()
+    model = nn.Dense(1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+
+    def train_step(state, batch, key):
+        noise = jax.random.normal(key, batch["x"].shape) * 0.1
+
+        def loss_fn(p):
+            return jnp.mean(model.apply(p, batch["x"] + noise) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    def eval_step(params, batch, key):
+        return jnp.mean(model.apply(params, batch["x"]) ** 2)
+
+    class _EdgeLoader(_ToyLoader):
+        def __iter__(self):
+            yield from super().__iter__()
+            _handler(10, None)  # lands after the last batch was consumed
+
+    def fit(ckpt_dir, epochs, state, loader_cls=_ToyLoader):
+        mgr = CheckpointManager(ckpt_dir)
+        tr = Trainer(
+            train_step=train_step, eval_step=eval_step,
+            train_loader=loader_cls(4), val_loader=_ToyLoader(2),
+            checkpoint_manager=mgr, epochs=epochs, seed=7,
+            # tight patience: the preempted epoch's validation must feed the
+            # schedulers for the resumed trajectory to match
+            plateau_patience=1, early_stop_patience=3,
+        )
+        res = tr.fit(state)
+        stop_state = (tr.stopper.best, tr.stopper.num_bad,
+                      tr.scheduler.best, tr.scheduler.num_bad)
+        mgr.close()
+        return res, stop_state
+
+    def sgd_state():
+        return create_train_state(params, 1e-2)
+
+    (straight, straight_sched) = fit(tmp_path / "a", 3, sgd_state())
+
+    res, sched_after_preempt = fit(tmp_path / "b", 3, sgd_state(), _EdgeLoader)
+    assert res.preempted
+    # the epoch validated: scheduler/stopper saw exactly one val loss
+    assert sched_after_preempt[0] != float("inf")
+    reset_termination()
+
+    resumed, resumed_sched = fit(tmp_path / "b", 3, res.state)
+    assert not resumed.preempted
+    assert resumed.epochs_run == 2  # epochs 1-2; epoch 0 not re-run
+    assert resumed_sched == straight_sched
+    for a, b in zip(jax.tree.leaves(straight.state.params),
+                    jax.tree.leaves(resumed.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
