@@ -995,7 +995,6 @@ def bench_sample_2d_ladder():
         model, jnp.zeros((1, 16, 16, 1), jnp.bfloat16),
         jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
     )
-    base_segments = ancestral_segments_for_backend()
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(42)
 
@@ -1020,11 +1019,11 @@ def bench_sample_2d_ladder():
 
             if steps is None:
                 # eager segments (NOT under jit) dodge the per-execution
-                # cap; segment count grows with batch so per-execution
-                # time stays at the batch-64 level
+                # cap; the library policy scales the count with the batch
+                # so per-execution time stays at the batch-64 level
                 return diffusion.p_sample_loop_segmented(
                     model_fn, (bs, size, size, 1), key,
-                    segments=max(base_segments, base_segments * bs // 64),
+                    segments=ancestral_segments_for_backend(batch_size=bs),
                 )
             return diffusion.fast_sample(
                 model_fn, (bs, size, size, 1), key,
@@ -1131,12 +1130,17 @@ def bench_input_pipeline():
         ONCE at the end (per-step readbacks are ~50-100 ms of tunnel
         roundtrip each and would mask the pipeline difference)."""
         nonlocal state
+        import itertools
+
         t0 = time.perf_counter()
         got = 0
         last = None
-        for i, batch in enumerate(batch_iter):
-            if i >= n_steps:
-                break
+        # islice, NOT enumerate+break: breaking on index N pulls batch N
+        # from the iterator first, so the loader variants would pay one
+        # extra decode/stack (+H2D) inside the timed window that the
+        # device-resident variant never pays — a systematic bias in the
+        # exact A/B this mode exists to make
+        for i, batch in enumerate(itertools.islice(batch_iter, n_steps)):
             state, last = step(state, batch,
                                jax.random.fold_in(key, i))
             got += 1
@@ -1178,11 +1182,11 @@ def bench_input_pipeline():
         # into the timed_steps window that follows
         host_loader = BatchLoader(ds, bs, shuffle=True, drop_last=True,
                                   seed=0, prefetch=2, device_put=False)
+        import itertools
+
         t0 = time.perf_counter()
         n_host = 0
-        for i, b in enumerate(loop(host_loader)):
-            if i >= N:
-                break
+        for b in itertools.islice(loop(host_loader), N):
             n_host += 1
         host_dt = time.perf_counter() - t0
         _emit({

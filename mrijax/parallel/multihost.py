@@ -71,8 +71,15 @@ def broadcast_from_host0(value: float) -> float:
 
     if jax.process_count() == 1:
         return float(value)
-    arr = multihost_utils.broadcast_one_to_all(np.asarray(value, np.float32))
-    return float(arr)
+    # Full float64 precision on the wire: the single-process path compares
+    # at Python float precision, and a float32 round-trip here would make
+    # the two topologies take different best-checkpoint branches on
+    # sub-epsilon improvements (checkpoint.py best.json comparison). jax
+    # silently downcasts float64 leaves when x64 is off, so ship the raw
+    # bits as a uint32 pair instead.
+    bits = multihost_utils.broadcast_one_to_all(
+        np.asarray(value, np.float64).reshape(1).view(np.uint32))
+    return float(np.asarray(bits, np.uint32).view(np.float64)[0])
 
 
 def all_processes_agree(flag: bool) -> bool:

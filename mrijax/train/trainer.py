@@ -74,6 +74,7 @@ class Trainer:
         checkpoint_extra: Optional[Callable[[], dict]] = None,
         resume: bool = True,
         preempt_sync_every: int = 32,
+        preempt_val_budget_s: float = 120.0,
     ):
         self.train_step = train_step
         self.eval_step = eval_step
@@ -96,8 +97,14 @@ class Trainer:
         self.checkpoint_extra = checkpoint_extra or (lambda: {})
         self.resume = resume
         self.preempt_sync_every = preempt_sync_every
+        # wall-clock cap on the validation pass a fully-trained preempted
+        # epoch runs inside the SIGUSR1 grace window (SLURM kills 600 s
+        # after the signal); the checkpoint save that follows must always
+        # fit in what remains
+        self.preempt_val_budget_s = preempt_val_budget_s
         self.start_epoch = 0
         self.global_step = 0
+        self.resumed_stopped_early = False
 
     # ------------------------------------------------------------- resume
     def try_resume(self, state):
@@ -116,6 +123,11 @@ class Trainer:
         self.scheduler.num_bad = int(extra.get("sched_num_bad", 0))
         self.stopper.best = float(extra.get("stop_best", float("inf")))
         self.stopper.num_bad = int(extra.get("stop_num_bad", 0))
+        # a preemption can land at the same epoch boundary where early stop
+        # triggered — the preempted break wins the exit, so the stop
+        # decision must survive in the checkpoint or resume would train
+        # epochs the uninterrupted run never ran
+        self.resumed_stopped_early = bool(extra.get("stopped_early", False))
         print(
             f"[trainer] resumed from step {self.ckpt.latest_step} "
             f"(epoch {self.start_epoch}, global_step {self.global_step})"
@@ -146,6 +158,16 @@ class Trainer:
     def fit(self, state) -> TrainerResult:
         if self.resume:
             state = self.try_resume(state)
+        if self.resumed_stopped_early:
+            print("[trainer] resumed a run that had already early-stopped; "
+                  "nothing to train")
+            return TrainerResult(
+                state=state,
+                best_val_loss=self.stopper.best,
+                epochs_run=0,
+                stopped_early=True,
+                preempted=False,
+            )
         # every key derives from (seed, stream, epoch, step): streams stay
         # independent, and resume reproduces the uninterrupted run's draws
         # without persisting RNG state
@@ -235,9 +257,33 @@ class Trainer:
             val_iter = () if mid_epoch else self.val_loader
             if hasattr(val_iter, "set_epoch"):
                 val_iter.set_epoch(epoch)
+            # the grace-window validation is wall-clock-capped: a val pass
+            # longer than the window would get the job SIGKILLed BEFORE the
+            # checkpoint save below, losing the epoch's training — the one
+            # outcome preemption handling exists to prevent. The abandon
+            # decision is a consensus vote (wall clocks differ across
+            # hosts; one host leaving the loop alone while others dispatch
+            # the next eval_step's collectives would deadlock the mesh).
+            val_deadline = (
+                time.perf_counter() + self.preempt_val_budget_s
+                if (preempted and not mid_epoch) else None
+            )
+            val_abandoned = False
             for i, batch in enumerate(val_iter):
                 if self.debug_max_steps is not None and i >= self.debug_max_steps:
                     break
+                if val_deadline is not None:
+                    from mrijax.parallel import any_process_flagged
+
+                    if any_process_flagged(
+                            time.perf_counter() > val_deadline):
+                        # a partial mean is biased toward the early batches;
+                        # discard so schedulers never act on it
+                        val_losses = []
+                        val_abandoned = True
+                        print("[trainer] preemption grace budget exhausted; "
+                              "abandoning validation to checkpoint")
+                        break
                 sub = jax.random.fold_in(epoch_val, i)
                 if self._eval_takes_index:
                     vl = self.eval_step(_params_of(state), batch, sub, batch_index=i)
@@ -252,8 +298,12 @@ class Trainer:
             # complete epoch's validation ran exactly as the uninterrupted
             # run's would (including the always-empty-val-loader case,
             # where the train-loss fallback is the run's only consistent
-            # signal), so its updates are trusted even under preemption.
-            trust_val = not mid_epoch
+            # signal), so its updates are trusted even under preemption —
+            # unless the grace budget abandoned it, in which case resume
+            # diverges from the uninterrupted run's LR/stop trajectory
+            # (unavoidable inside a bounded grace window; the training
+            # itself is preserved).
+            trust_val = not mid_epoch and not val_abandoned
             val_loss = float(np.mean(val_losses)) if val_losses else train_loss
 
             lr = get_learning_rate(state)
@@ -292,18 +342,26 @@ class Trainer:
                     "sched_num_bad": self.scheduler.num_bad,
                     "stop_best": self.stopper.best,
                     "stop_num_bad": self.stopper.num_bad,
+                    # early stop decided at this boundary must survive a
+                    # simultaneous preemption (the preempted break exits
+                    # first): resume sees it and trains nothing further
+                    "stopped_early": bool(stop),
                     **self.checkpoint_extra(),
                 }
                 self.ckpt.save(
                     self.global_step, state, extra,
                     metrics={"val_loss": val_loss} if trust_val else {},
                 )
+            if stop:
+                # set BEFORE the preempted break: a preemption landing at
+                # the same boundary must not mask the stop decision (the
+                # checkpoint above already persisted it for resume)
+                stopped_early = True
+                print(f"[trainer] early stop at epoch {epoch}")
             if preempted:
                 print("[trainer] termination requested; stopping cleanly")
                 break
             if stop:
-                print(f"[trainer] early stop at epoch {epoch}")
-                stopped_early = True
                 break
 
         if self.ckpt is not None:

@@ -40,8 +40,10 @@ def fake_4_processes(monkeypatch):
 
     def fake_broadcast(x):
         sent["broadcast"] = np.asarray(x)
-        # host-0's value comes back on every host, regardless of ours
-        return np.asarray(7.5, np.float32)
+        # host-0's value comes back on every host, regardless of ours —
+        # in the scalar helper's wire format (float64 bits as uint32 pair,
+        # immune to jax's silent float64→float32 downcast when x64 is off)
+        return np.asarray(7.5, np.float64).reshape(1).view(np.uint32)
 
     monkeypatch.setattr(multihost_utils, "broadcast_one_to_all", fake_broadcast)
     return sent
@@ -50,7 +52,15 @@ def fake_4_processes(monkeypatch):
 def test_broadcast_returns_host0_value(fake_4_processes):
     out = multihost.broadcast_from_host0(123.0)
     assert out == 7.5  # our local 123.0 is discarded; host-0's scalar wins
-    assert fake_4_processes["broadcast"].dtype == np.float32
+    sent = fake_4_processes["broadcast"]
+    assert sent.dtype == np.uint32 and sent.shape == (2,)
+    # the wire bits decode to OUR value at full float64 precision: a
+    # sub-float32-epsilon distinction must survive the round trip
+    assert float(sent.view(np.float64)[0]) == 123.0
+    probe = 1.0 + 2.0**-40
+    multihost.broadcast_from_host0(probe)
+    assert float(
+        fake_4_processes["broadcast"].view(np.float64)[0]) == probe
 
 
 @pytest.mark.parametrize(

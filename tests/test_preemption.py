@@ -338,3 +338,130 @@ def test_edge_preemption_validates_and_resume_matches(tmp_path):
     for a, b in zip(jax.tree.leaves(straight.state.params),
                     jax.tree.leaves(resumed.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_preemption_at_early_stop_boundary_persists_stop(tmp_path):
+    """A preemption landing at the same epoch boundary where early stop
+    triggered must not mask the stop decision: the result reports both,
+    the checkpoint records stopped_early, and resume trains NOTHING — the
+    uninterrupted run stopped there, so training any further epoch would
+    advance latest/ past the stop point and break trajectory parity."""
+    import flax.linen as nn
+
+    reset_termination()
+    model = nn.Dense(1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+
+    def train_step(state, batch, key):
+        def loss_fn(p):
+            return jnp.mean(model.apply(p, batch["x"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    def eval_step(params, batch, key):
+        return jnp.float32(1.0)  # never improves -> stop at epoch 1
+
+    class _PreemptEpoch1Last(_ToyLoader):
+        def __iter__(self):
+            epoch = self.epochs_seen[-1]
+            for i, b in enumerate(super().__iter__()):
+                if epoch == 1 and i == self.n - 1:
+                    _handler(10, None)
+                yield b
+
+    def fit(ckpt_dir, state, loader_cls=_ToyLoader):
+        mgr = CheckpointManager(ckpt_dir)
+        tr = Trainer(
+            train_step=train_step, eval_step=eval_step,
+            train_loader=loader_cls(4), val_loader=_ToyLoader(2),
+            checkpoint_manager=mgr, epochs=4, seed=7,
+            early_stop_patience=1,
+        )
+        res = tr.fit(state)
+        mgr.close()
+        return res
+
+    def sgd_state():
+        return create_train_state(params, 1e-2)
+
+    straight = fit(tmp_path / "a", sgd_state())
+    assert straight.stopped_early and straight.epochs_run == 2
+
+    res = fit(tmp_path / "b", sgd_state(), _PreemptEpoch1Last)
+    assert res.preempted
+    assert res.stopped_early  # not masked by the preempted break
+    assert res.epochs_run == 2
+    reset_termination()
+
+    resumed = fit(tmp_path / "b", res.state)
+    assert resumed.stopped_early
+    assert resumed.epochs_run == 0  # the run had already stopped
+    for a, b in zip(jax.tree.leaves(straight.state.params),
+                    jax.tree.leaves(resumed.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_preempt_val_budget_abandons_validation(tmp_path):
+    """The grace-window validation is wall-clock-capped: with a zero
+    budget the val pass is abandoned before its first batch (the SIGKILL
+    must never land before the checkpoint), the schedulers see no val
+    signal, and the fully-trained epoch still checkpoints as complete —
+    resume continues at epoch+1 without re-applying it."""
+    import flax.linen as nn
+
+    reset_termination()
+    model = nn.Dense(1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+
+    def train_step(state, batch, key):
+        def loss_fn(p):
+            return jnp.mean(model.apply(p, batch["x"]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    eval_calls = []
+
+    def eval_step(params, batch, key):
+        eval_calls.append(1)
+        return jnp.mean(model.apply(params, batch["x"]) ** 2)
+
+    class _LastStepPreempt(_ToyLoader):
+        def __iter__(self):
+            for i, b in enumerate(super().__iter__()):
+                if i == self.n - 1:
+                    _handler(10, None)
+                yield b
+
+    def fit(ckpt_dir, epochs, state, loader_cls=_ToyLoader, budget=0.0):
+        mgr = CheckpointManager(ckpt_dir)
+        tr = Trainer(
+            train_step=train_step, eval_step=eval_step,
+            train_loader=loader_cls(4), val_loader=_ToyLoader(2),
+            checkpoint_manager=mgr, epochs=epochs, seed=7,
+            preempt_val_budget_s=budget,
+        )
+        res = tr.fit(state)
+        mgr.close()
+        return res
+
+    def sgd_state():
+        return create_train_state(params, 1e-2)
+
+    straight = fit(tmp_path / "a", 2, sgd_state()).state
+    eval_calls.clear()
+
+    res = fit(tmp_path / "b", 2, sgd_state(), _LastStepPreempt)
+    assert res.preempted
+    assert res.epochs_run == 1
+    assert not eval_calls, "zero budget must abandon val before batch 0"
+    assert res.best_val_loss == float("inf")  # stopper saw nothing
+    reset_termination()
+
+    resumed = fit(tmp_path / "b", 2, res.state)
+    assert not resumed.preempted
+    assert resumed.epochs_run == 1  # epoch 0 complete; only epoch 1 ran
+    for a, b in zip(jax.tree.leaves(straight.params),
+                    jax.tree.leaves(resumed.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
